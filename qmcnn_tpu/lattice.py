@@ -1,0 +1,134 @@
+"""Lattice geometry: site indexing, bond lists, sublattice masks.
+
+Covers the geometry the reference supports (SURVEY.md R1): periodic chains
+(N=16, N=40) and periodic square lattices (8x8, 10x10), with nearest-neighbor
+(NN) and next-nearest-neighbor (NNN, diagonal) bonds for the J1-J2 model.
+
+Everything here is static host-side numpy; the arrays are baked into jitted
+functions as constants (SURVEY.md N1).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Lattice:
+    """A hypercubic lattice with periodic boundary conditions.
+
+    Sites are indexed row-major over ``shape``. Spin configurations are stored
+    flat as ``s in {-1,+1}^n_sites``; models reshape to ``shape`` for convs.
+
+    Args:
+      shape: ``(N,)`` for a chain or ``(Lx, Ly)`` for a square lattice.
+      pbc: periodic boundary conditions (the reference uses PBC everywhere).
+    """
+
+    shape: Tuple[int, ...]
+    pbc: bool = True
+
+    def __post_init__(self):
+        if len(self.shape) not in (1, 2):
+            raise ValueError(f"only 1D/2D lattices supported, got {self.shape}")
+        if any(L < 2 for L in self.shape):
+            raise ValueError(f"each dimension must be >= 2, got {self.shape}")
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def n_sites(self) -> int:
+        return int(np.prod(self.shape))
+
+    def site_index(self, coords) -> int:
+        """Row-major flat index of a site given its lattice coordinates."""
+        return int(np.ravel_multi_index([c % L for c, L in zip(coords, self.shape)],
+                                        self.shape))
+
+    @cached_property
+    def coords(self) -> np.ndarray:
+        """[n_sites, ndim] integer coordinates of every site."""
+        return np.stack(np.unravel_index(np.arange(self.n_sites), self.shape), axis=-1)
+
+    @cached_property
+    def nn_bonds(self) -> np.ndarray:
+        """Nearest-neighbor bonds as an [n_bonds, 2] int32 array of site pairs.
+
+        Chain: (i, i+1) for all i (wrapping if pbc) -> N bonds (N-1 if open).
+        Square: +x and +y neighbors -> 2*N bonds under PBC. Each bond appears
+        exactly once.
+        """
+        return self._bonds_for_offsets(self._nn_offsets())
+
+    @cached_property
+    def nnn_bonds(self) -> np.ndarray:
+        """Next-nearest-neighbor bonds ([n, 2] int32).
+
+        Chain: (i, i+2). Square: both diagonals (+x+y) and (+x-y) -> 2*N bonds
+        under PBC. Used by the J1-J2 model's J2 couplings.
+        """
+        return self._bonds_for_offsets(self._nnn_offsets())
+
+    def _nn_offsets(self):
+        if self.ndim == 1:
+            return [(1,)]
+        return [(1, 0), (0, 1)]
+
+    def _nnn_offsets(self):
+        if self.ndim == 1:
+            return [(2,)]
+        return [(1, 1), (1, -1)]
+
+    def _bonds_for_offsets(self, offsets) -> np.ndarray:
+        bonds = []
+        seen = set()
+        for i in range(self.n_sites):
+            ci = self.coords[i]
+            for off in offsets:
+                cj = ci + np.asarray(off)
+                if not self.pbc and any(
+                    c < 0 or c >= L for c, L in zip(cj, self.shape)
+                ):
+                    continue
+                j = self.site_index(cj)
+                if i == j:
+                    continue  # wrap-around self-bond on tiny lattices
+                key = (min(i, j), max(i, j), off)
+                # With PBC on L=2 the +1 and -1 neighbors coincide; keep one
+                # bond per (pair, offset) so couplings are not double counted
+                # beyond what the physical lattice dictates.
+                pair = (min(i, j), max(i, j))
+                if pair in seen:
+                    continue
+                seen.add(pair)
+                bonds.append((i, j))
+        return np.asarray(bonds, dtype=np.int32).reshape(-1, 2)
+
+    @cached_property
+    def sublattice_mask(self) -> np.ndarray:
+        """[n_sites] int32 in {0,1}: bipartite A/B checkerboard mask.
+
+        A site is on sublattice B iff the sum of its coordinates is odd. Used
+        by the Marshall sign rule (SURVEY.md R4a) for bipartite Heisenberg.
+        Only meaningful when all dims are even (true for all reference
+        configs: 16, 40, 8x8, 10x10).
+        """
+        return (self.coords.sum(axis=1) % 2).astype(np.int32)
+
+    @cached_property
+    def is_bipartite_compatible(self) -> bool:
+        """True if PBC wrap preserves the checkerboard (all dims even)."""
+        return all(L % 2 == 0 for L in self.shape) or not self.pbc
+
+
+def chain(n: int, pbc: bool = True) -> Lattice:
+    return Lattice((n,), pbc=pbc)
+
+
+def square(lx: int, ly: int | None = None, pbc: bool = True) -> Lattice:
+    return Lattice((lx, ly if ly is not None else lx), pbc=pbc)

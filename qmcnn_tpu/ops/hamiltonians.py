@@ -1,0 +1,190 @@
+"""Spin Hamiltonians: diagonal terms + connected-configuration enumeration.
+
+Reference parity (SURVEY.md R4/R4a, BASELINE configs): 1D TFIM, 1D/2D
+Heisenberg with the Marshall sign rule, and the 2D J1-J2 frustrated model.
+
+TPU-native design (SURVEY.md N4): ``connected(s)`` returns a *static-K*
+batch ``(s_prime [K, N], mel [K], mask [K])`` with inactive entries masked,
+so every shape is known at trace time and XLA can tile the downstream
+amplitude-ratio forward pass onto the MXU. K is N (TFIM: one flip per site)
+or n_bonds (exchange models: one swap per bond).
+
+Convention: ``mel_k = <s|H|s'_k>`` so that
+``E_loc(s) = diag(s) + sum_k mask_k * mel_k * psi(s'_k)/psi(s)``.
+All Hamiltonians here are real symmetric, optionally Marshall-rotated
+(H -> D H D with D = diag((-1)^{# up on sublattice A})), which flips the
+sign of off-diagonal elements connecting different sublattices and leaves
+same-sublattice elements (e.g. J2 diagonals) unchanged.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qmcnn_tpu.lattice import Lattice
+
+Array = jax.Array
+
+
+class Hamiltonian:
+    """Base interface. Subclasses define static fields + the three methods."""
+
+    lattice: Lattice
+    #: proposal move that keeps the sampler in this Hamiltonian's sector
+    default_move: str = "flip"
+
+    @property
+    def n_conn(self) -> int:
+        raise NotImplementedError
+
+    def diag(self, s: Array) -> Array:
+        """Diagonal energy <s|H|s>. s: [N] float32 in {-1,+1}."""
+        raise NotImplementedError
+
+    def connected(self, s: Array) -> Tuple[Array, Array, Array]:
+        """Off-diagonal connected configs: (s' [K,N], mel [K], mask [K])."""
+        raise NotImplementedError
+
+    # Batched variants (walkers on the leading axis).
+    def diag_batch(self, s: Array) -> Array:
+        return jax.vmap(self.diag)(s)
+
+    def connected_batch(self, s: Array) -> Tuple[Array, Array, Array]:
+        return jax.vmap(self.connected)(s)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class TFIM(Hamiltonian):
+    """Transverse-field Ising model: H = -J sum_<ij> sz_i sz_j - h sum_i sx_i.
+
+    (sigma convention, matching :func:`qmcnn_tpu.ops.exact.sparse_tfim`.)
+    Connected states: every single-spin flip, K = N, mel = -h (SURVEY.md R4).
+    """
+
+    lattice: Lattice
+    j: float = 1.0
+    h: float = 1.0
+
+    default_move = "flip"
+
+    @property
+    def n_conn(self) -> int:
+        return self.lattice.n_sites
+
+    @cached_property
+    def _bonds(self) -> jnp.ndarray:
+        return jnp.asarray(self.lattice.nn_bonds)
+
+    @cached_property
+    def _flips(self) -> jnp.ndarray:
+        # [N, N]: row k multiplies site k by -1
+        n = self.lattice.n_sites
+        return jnp.asarray(1.0 - 2.0 * np.eye(n, dtype=np.float32))
+
+    def diag(self, s: Array) -> Array:
+        b = self._bonds
+        return -self.j * jnp.sum(s[b[:, 0]] * s[b[:, 1]])
+
+    def connected(self, s: Array) -> Tuple[Array, Array, Array]:
+        n = self.lattice.n_sites
+        s_prime = s[None, :] * self._flips
+        mel = jnp.full((n,), -self.h, dtype=s.dtype)
+        mask = jnp.ones((n,), dtype=bool)
+        return s_prime, mel, mask
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Heisenberg(Hamiltonian):
+    """Antiferromagnetic Heisenberg / J1-J2 model, spin-1/2 (S = sigma/2).
+
+    H = J sum_<ij> S_i.S_j + J2 sum_<<ij>> S_i.S_j
+      = sum_bonds [ (J_b/4) sz_i sz_j + (J_b/2) * exchange(anti-aligned) ].
+
+    With ``marshall=True`` the Marshall basis rotation is folded into the
+    matrix elements (SURVEY.md R4a): off-diagonal elements connecting
+    *different* sublattices (all NN bonds on a bipartite lattice) change sign
+    to -J/2; same-sublattice bonds (all NNN/J2 bonds) keep +J2/2. Energies
+    are rotation invariant, so ED comparisons remain valid.
+
+    Connected states: one per bond, active iff the bond is anti-aligned.
+    K = n_nn_bonds (+ n_nnn_bonds when j2 != 0).
+    """
+
+    lattice: Lattice
+    j: float = 1.0
+    j2: float = 0.0
+    marshall: bool = True
+
+    default_move = "exchange"
+
+    @cached_property
+    def _all_bonds(self) -> np.ndarray:
+        bonds = [self.lattice.nn_bonds]
+        if self.j2 != 0.0:
+            bonds.append(self.lattice.nnn_bonds)
+        return np.concatenate(bonds, axis=0)
+
+    @cached_property
+    def _couplings(self) -> np.ndarray:
+        c = [np.full(len(self.lattice.nn_bonds), self.j, dtype=np.float32)]
+        if self.j2 != 0.0:
+            c.append(np.full(len(self.lattice.nnn_bonds), self.j2, dtype=np.float32))
+        return np.concatenate(c)
+
+    @property
+    def n_conn(self) -> int:
+        return len(self._all_bonds)
+
+    @cached_property
+    def _bonds_jnp(self) -> jnp.ndarray:
+        return jnp.asarray(self._all_bonds)
+
+    @cached_property
+    def _flip_matrix(self) -> jnp.ndarray:
+        # [K, N]: row b multiplies both sites of bond b by -1 (the exchange
+        # of an anti-aligned pair == flipping both spins).
+        k, n = len(self._all_bonds), self.lattice.n_sites
+        f = np.ones((k, n), dtype=np.float32)
+        rows = np.arange(k)
+        f[rows, self._all_bonds[:, 0]] = -1.0
+        f[rows, self._all_bonds[:, 1]] = -1.0
+        return jnp.asarray(f)
+
+    @cached_property
+    def _offdiag_mel(self) -> jnp.ndarray:
+        """[K] off-diagonal matrix element per bond (sign incl. Marshall)."""
+        sub = self.lattice.sublattice_mask
+        i, jj = self._all_bonds[:, 0], self._all_bonds[:, 1]
+        if self.marshall:
+            sign = np.where(sub[i] != sub[jj], -1.0, 1.0).astype(np.float32)
+        else:
+            sign = np.ones(len(i), dtype=np.float32)
+        return jnp.asarray(sign * self._couplings / 2.0)
+
+    @cached_property
+    def _diag_coupling(self) -> jnp.ndarray:
+        return jnp.asarray(self._couplings / 4.0)
+
+    def diag(self, s: Array) -> Array:
+        b = self._bonds_jnp
+        return jnp.sum(self._diag_coupling * s[b[:, 0]] * s[b[:, 1]])
+
+    def connected(self, s: Array) -> Tuple[Array, Array, Array]:
+        b = self._bonds_jnp
+        mask = s[b[:, 0]] * s[b[:, 1]] < 0  # anti-aligned bonds only
+        s_prime = s[None, :] * self._flip_matrix
+        # Keep masked rows equal to s so their (ignored) forward pass is
+        # numerically tame.
+        s_prime = jnp.where(mask[:, None], s_prime, s[None, :])
+        return s_prime, self._offdiag_mel.astype(s.dtype), mask
+
+
+def j1j2(lattice: Lattice, j1: float = 1.0, j2: float = 0.5,
+         marshall: bool = True) -> Heisenberg:
+    """2D J1-J2 frustrated Heisenberg model (BASELINE config 4)."""
+    return Heisenberg(lattice, j=j1, j2=j2, marshall=marshall)

@@ -1,0 +1,109 @@
+"""Hamiltonian unit tests: connected()/diag() vs an independent dense build.
+
+Oracle strategy (SURVEY.md section 4): the bit-twiddling sparse builders in
+ops/exact.py are constructed independently of the jax connected-enumeration
+path; agreement of the full dense matrices catches matrix-element signs,
+Marshall-rule handling, and mask bugs exactly.
+"""
+import numpy as np
+import pytest
+
+from qmcnn_tpu.lattice import chain, square
+from qmcnn_tpu.ops import exact
+from qmcnn_tpu.ops.hamiltonians import TFIM, Heisenberg, j1j2
+
+
+def dense_oracle_tfim(lat, j, h):
+    return exact.sparse_tfim(lat.n_sites, lat.nn_bonds, j=j, h=h).toarray()
+
+
+def test_tfim_matches_dense():
+    lat = chain(8)
+    ham = TFIM(lat, j=1.0, h=0.7)
+    got = exact.dense_from_hamiltonian(ham).real
+    want = dense_oracle_tfim(lat, 1.0, 0.7)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_heisenberg_chain_matches_dense_no_marshall():
+    lat = chain(8)
+    ham = Heisenberg(lat, j=1.0, marshall=False)
+    got = exact.dense_from_hamiltonian(ham).real
+    want = exact.sparse_heisenberg(lat.n_sites, lat.nn_bonds, j=1.0).toarray()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_heisenberg_marshall_is_rotated_h():
+    """connected() with marshall=True must equal D H D exactly."""
+    lat = chain(8)
+    ham = Heisenberg(lat, j=1.0, marshall=True)
+    got = exact.dense_from_hamiltonian(ham).real
+    h_plain = exact.sparse_heisenberg(lat.n_sites, lat.nn_bonds, j=1.0).toarray()
+    d = exact.marshall_signs(lat.n_sites, lat.sublattice_mask)
+    want = d[:, None] * h_plain * d[None, :]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # and the spectrum is untouched by the rotation
+    np.testing.assert_allclose(
+        np.linalg.eigvalsh(got), np.linalg.eigvalsh(h_plain), atol=1e-8
+    )
+
+
+def test_heisenberg_2d_matches_dense():
+    lat = square(2, 4)
+    ham = Heisenberg(lat, j=1.0, marshall=False)
+    got = exact.dense_from_hamiltonian(ham).real
+    want = exact.sparse_heisenberg(lat.n_sites, lat.nn_bonds, j=1.0).toarray()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_j1j2_matches_dense_with_marshall():
+    lat = square(2, 4)
+    ham = j1j2(lat, j1=1.0, j2=0.5, marshall=True)
+    got = exact.dense_from_hamiltonian(ham).real
+    h_plain = exact.sparse_heisenberg(
+        lat.n_sites, lat.nn_bonds, j=1.0, nnn_bonds=lat.nnn_bonds, j2=0.5
+    ).toarray()
+    d = exact.marshall_signs(lat.n_sites, lat.sublattice_mask)
+    want = d[:, None] * h_plain * d[None, :]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_j1j2_nnn_mels_positive_under_marshall():
+    """J2 bonds connect the same sublattice: Marshall leaves them +J2/2."""
+    lat = square(2, 4)
+    ham = j1j2(lat, j1=1.0, j2=0.5, marshall=True)
+    n_nn = len(lat.nn_bonds)
+    mel = np.asarray(ham._offdiag_mel)
+    assert np.all(mel[:n_nn] == -0.5)   # -J1/2
+    assert np.all(mel[n_nn:] == 0.25)   # +J2/2
+
+
+def test_hermiticity_of_connected_build():
+    lat = chain(6)
+    for ham in [TFIM(lat, h=1.3), Heisenberg(lat), j1j2(square(2, 4))]:
+        m = exact.dense_from_hamiltonian(ham).real
+        np.testing.assert_allclose(m, m.T, atol=1e-6)
+
+
+def test_known_ground_energies():
+    """Physics pin: 1D TFIM at criticality (J=h=1), exact finite-size value.
+
+    E0 = -sum over k of 2*sqrt(1+g^2-2g cos k) with g=1 in sigma convention:
+    for N=8 PBC the Lanczos result must match the free-fermion formula.
+    """
+    n = 8
+    lat = chain(n)
+    e = exact.ground_energy(exact.sparse_tfim(n, lat.nn_bonds, j=1.0, h=1.0))
+    # Free-fermion solution, antiperiodic sector (even fermion parity):
+    # E0 = -sum_k sqrt(2 + 2 cos k), k = (2m+1) pi / N
+    k = (2 * np.arange(n) + 1) * np.pi / n
+    e_exact = -np.sum(np.sqrt(2 + 2 * np.cos(k)))
+    np.testing.assert_allclose(e, e_exact, rtol=1e-10)
+
+
+def test_heisenberg_chain_ground_energy_value():
+    # N=8 Heisenberg chain (sigma/2 convention): known ED value
+    lat = chain(8)
+    e = exact.ground_energy(exact.sparse_heisenberg(8, lat.nn_bonds, j=1.0))
+    # Bethe ansatz finite chain N=8: E0/J = -3.6510934...
+    np.testing.assert_allclose(e, -3.6510934089371783, rtol=1e-9)
