@@ -1,0 +1,156 @@
+"""Ansatz unit tests (SURVEY.md section 4): translation invariance,
+complex-conv correctness vs a numpy complex reference, translation-averaging
+projection, and gradient sanity via finite differences."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qmcnn_tpu.models.cnn import (
+    ComplexConv, LogPsiCNN, TranslationAveraged, log_psi_apply,
+)
+from qmcnn_tpu.ops.cplx import C
+
+
+def rand_spins(key, batch, n):
+    return (2.0 * jax.random.bernoulli(key, 0.5, (batch, n)) - 1.0).astype(
+        jnp.float32
+    )
+
+
+def test_complex_conv_matches_direct_complex():
+    """Karatsuba real-conv decomposition == direct complex conv (numpy)."""
+    kr, ki = jax.random.split(jax.random.key(0))
+    zr = jax.random.normal(kr, (2, 6, 6, 3))
+    zi = jax.random.normal(ki, (2, 6, 6, 3))
+    z = C(zr, zi)
+    conv = ComplexConv(features=4, kernel_size=(3, 3))
+    v = conv.init(jax.random.key(2), z)
+    got = conv.apply(v, z).to_numpy()
+    w = (np.asarray(v["params"]["kernel_re"], np.complex128)
+         + 1j * np.asarray(v["params"]["kernel_im"], np.complex128))
+    znp = np.asarray(zr, np.complex128) + 1j * np.asarray(zi, np.complex128)
+    zp = np.pad(znp, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="wrap")
+    want = np.zeros((2, 6, 6, 4), np.complex128)
+    for dx in range(3):
+        for dy in range(3):
+            want += np.einsum("bxyc,cf->bxyf",
+                              zp[:, dx:dx + 6, dy:dy + 6, :], w[dx, dy])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("complex_params", [False, True])
+@pytest.mark.parametrize("shape", [(8,), (4, 4)])
+def test_translation_invariance(shape, complex_params):
+    n = int(np.prod(shape))
+    model = LogPsiCNN(lattice_shape=shape, channels=(4, 4),
+                      complex_params=complex_params)
+    s = rand_spins(jax.random.key(0), 3, n)
+    v = model.init(jax.random.key(1), s)
+    base = log_psi_apply(model, v, s).to_numpy()
+    grid = np.asarray(s).reshape(3, *shape)
+    for shift in [(1,) * len(shape), (2,) + (0,) * (len(shape) - 1)]:
+        rolled = np.roll(grid, shift, axis=tuple(range(1, 1 + len(shape))))
+        out = log_psi_apply(model, v, jnp.asarray(rolled.reshape(3, n)))
+        np.testing.assert_allclose(out.to_numpy(), base, rtol=1e-4, atol=1e-5)
+
+
+def test_even_kernel_and_kernel_clipping():
+    """kernel_size > L must clip to L and stay translation invariant."""
+    model = LogPsiCNN(lattice_shape=(4,), channels=(3,), kernel_size=7)
+    s = rand_spins(jax.random.key(0), 2, 4)
+    v = model.init(jax.random.key(1), s)
+    base = log_psi_apply(model, v, s).to_numpy()
+    rolled = jnp.roll(s.reshape(2, 4), 1, axis=1)
+    out = log_psi_apply(model, v, rolled).to_numpy()
+    np.testing.assert_allclose(out, base, rtol=1e-4, atol=1e-5)
+
+
+def test_translation_averaging_noop_on_invariant_net():
+    """Explicit averaging == bare net when the net is already invariant."""
+    shape = (4, 4)
+    inner = LogPsiCNN(lattice_shape=shape, channels=(4,), complex_params=True)
+    model = TranslationAveraged(inner=inner, lattice_shape=shape)
+    s = rand_spins(jax.random.key(0), 5, 16)
+    v = model.init(jax.random.key(1), s)
+    got = model.apply(v, s).to_numpy()
+    want = inner.apply({"params": v["params"]["inner"]}, s).to_numpy()
+    np.testing.assert_allclose(np.exp(got), np.exp(want), rtol=1e-3)
+
+
+def test_translation_averaging_projects():
+    """For a NON-invariant net, averaged psi is translation invariant."""
+
+    class Biased(nn.Module):
+        @nn.compact
+        def __call__(self, s):
+            w = self.param("w", nn.initializers.normal(1.0), (s.shape[-1],))
+            return C((s * w).sum(-1), 0.1 * (s * w ** 2).sum(-1))
+
+    model = TranslationAveraged(inner=Biased(), lattice_shape=(8,))
+    s = rand_spins(jax.random.key(0), 4, 8)
+    v = model.init(jax.random.key(1), s)
+    base = model.apply(v, s).to_numpy()
+    out = model.apply(v, jnp.roll(s.reshape(4, 8), 3, axis=1)).to_numpy()
+    np.testing.assert_allclose(np.exp(out), np.exp(base), rtol=1e-4)
+
+
+def test_grad_finite_difference_real():
+    """d logpsi/d theta matches central finite differences (real net)."""
+    model = LogPsiCNN(lattice_shape=(6,), channels=(3,))
+    s = rand_spins(jax.random.key(0), 1, 6)
+    v = model.init(jax.random.key(1), s)
+
+    def f(params):
+        return model.apply({"params": params}, s).re[0]
+
+    g = jax.grad(f)(v["params"])
+    leaf = v["params"]["RealConv_0"]["kernel"]
+    eps, idx = 1e-3, (0, 0, 1)
+
+    def perturb(h):
+        p = dict(v["params"])
+        p["RealConv_0"] = dict(p["RealConv_0"])
+        p["RealConv_0"]["kernel"] = leaf.at[idx].add(h)
+        return f(p)
+
+    fd = (perturb(eps) - perturb(-eps)) / (2 * eps)
+    np.testing.assert_allclose(g["RealConv_0"]["kernel"][idx], fd, rtol=2e-2)
+
+
+def test_grad_finite_difference_complex_pairs():
+    """Both re/im weight leaves get correct gradients (complex net)."""
+    model = LogPsiCNN(lattice_shape=(6,), channels=(3,), complex_params=True)
+    s = rand_spins(jax.random.key(0), 1, 6)
+    v = model.init(jax.random.key(1), s)
+
+    def f(params):
+        out = model.apply({"params": params}, s)
+        return out.re[0] + 0.5 * out.im[0]
+
+    g = jax.grad(f)(v["params"])
+    eps, idx = 1e-3, (0, 0, 1)
+    for leaf_name in ["kernel_re", "kernel_im"]:
+        leaf = v["params"]["ComplexConv_0"][leaf_name]
+
+        def perturb(h):
+            p = jax.tree_util.tree_map(lambda y: y, v["params"])
+            p["ComplexConv_0"][leaf_name] = leaf.at[idx].add(h)
+            return f(p)
+
+        fd = (perturb(eps) - perturb(-eps)) / (2 * eps)
+        np.testing.assert_allclose(g["ComplexConv_0"][leaf_name][idx], fd,
+                                   rtol=3e-2, atol=1e-5)
+
+
+def test_output_shapes_and_dtypes():
+    for complex_params in [False, True]:
+        model = LogPsiCNN(lattice_shape=(4, 4), channels=(4, 4),
+                          complex_params=complex_params)
+        s = rand_spins(jax.random.key(0), 7, 16)
+        v = model.init(jax.random.key(1), s)
+        out = log_psi_apply(model, v, s)
+        assert isinstance(out, C)
+        assert out.re.shape == (7,) and out.im.shape == (7,)
+        assert out.re.dtype == jnp.float32
