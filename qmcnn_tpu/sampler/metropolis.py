@@ -1,0 +1,198 @@
+"""Metropolis-Hastings sampler over |psi(s)|^2 (SURVEY.md R3/N3).
+
+TPU-native design: M walkers advance in lock-step on the leading axis; each
+sweep is a ``lax.scan`` over ``sweep_size`` proposal steps; every proposal
+evaluates the CNN log-amplitude on the full walker batch (one MXU-friendly
+forward per step). All shapes static; accept/reject via ``jnp.where`` masks.
+
+Proposal kernels (reference parity):
+  * ``flip``     — single-spin flip (TFIM; SURVEY.md R3a)
+  * ``exchange`` — swap the spins of a random lattice bond (SURVEY.md R3b).
+    Aligned bonds propose the identity (symmetric, detailed balance intact);
+    anti-aligned swaps flip both spins. Conserves total S^z, keeping walkers
+    in the S^z = 0 sector for Heisenberg/J1-J2.
+
+Determinism / distribution (SURVEY.md P1): the random stream of walker w is
+derived by folding the *global* walker id into the step key, so a run sharded
+over n devices is walker-for-walker identical to a single-device run — the
+basis of the n-vs-1 device equivalence test.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qmcnn_tpu.ops.cplx import C
+
+Array = jax.Array
+LogPsiFn = Callable[..., C]  # (params, s [B, N]) -> C [B]
+
+
+class WalkerState(NamedTuple):
+    """Per-walker MCMC state (a pytree; shardable on the walker axis)."""
+
+    s: Array        # [M, N] float32 in {-1, +1}
+    log_psi: C      # [M] pair
+    n_accept: Array  # [M] int32, proposals accepted since last reset
+    n_prop: Array    # [M] int32, proposals attempted since last reset
+
+
+def init_walkers(
+    key: Array,
+    n_walkers: int,
+    n_sites: int,
+    sector: Optional[str] = None,
+) -> Array:
+    """Random initial configurations [n_walkers, n_sites].
+
+    sector=None: i.i.d. uniform spins. sector='sz0': exactly half up/half
+    down per walker (the S^z = 0 sector the exchange move preserves).
+    """
+    if sector is None:
+        return (
+            2.0 * jax.random.bernoulli(key, 0.5, (n_walkers, n_sites)) - 1.0
+        ).astype(jnp.float32)
+    if sector == "sz0":
+        if n_sites % 2:
+            raise ValueError("sz0 sector needs an even number of sites")
+        base = jnp.concatenate(
+            [jnp.ones(n_sites // 2), -jnp.ones(n_sites // 2)]
+        ).astype(jnp.float32)
+        keys = jax.random.split(key, n_walkers)
+        return jax.vmap(lambda k: jax.random.permutation(k, base))(keys)
+    raise ValueError(f"unknown sector {sector!r}")
+
+
+def _propose_flip(s: Array, key: Array, n_sites: int) -> Array:
+    """Flip one uniformly random site per walker. s: [M, N]."""
+    m = s.shape[0]
+    sites = jax.vmap(lambda k: jax.random.randint(k, (), 0, n_sites))(key)
+    flip = 1.0 - 2.0 * (jnp.arange(n_sites)[None, :] == sites[:, None])
+    return s * flip
+
+
+def _propose_exchange(s: Array, key: Array, bonds: Array) -> Array:
+    """Swap the spins of one uniformly random bond per walker.
+
+    For an anti-aligned bond this flips both sites; for an aligned bond the
+    proposal is the identity (always accepted, state unchanged).
+    """
+    m, n = s.shape
+    b = jax.vmap(lambda k: jax.random.randint(k, (), 0, bonds.shape[0]))(key)
+    i, j = bonds[b, 0], bonds[b, 1]  # [M]
+    site_idx = jnp.arange(n)[None, :]
+    on_bond = (site_idx == i[:, None]) | (site_idx == j[:, None])
+    anti = (s[jnp.arange(m), i] * s[jnp.arange(m), j] < 0)[:, None]
+    return jnp.where(on_bond & anti, -s, s)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class MetropolisSampler:
+    """Walker-batched Metropolis sampler bound to a log-amplitude function.
+
+    Args:
+      log_psi_fn: ``(params, s [B, N]) -> C [B]`` log-amplitudes.
+      n_sites: number of lattice sites.
+      move: 'flip' or 'exchange'.
+      bonds: [n_bonds, 2] site pairs (required for 'exchange').
+      sweep_size: proposals per sweep; defaults to n_sites.
+    """
+
+    log_psi_fn: LogPsiFn
+    n_sites: int
+    move: str = "flip"
+    bonds: Optional[np.ndarray] = None
+    sweep_size: Optional[int] = None
+
+    def __post_init__(self):
+        if self.move not in ("flip", "exchange"):
+            raise ValueError(f"unknown move {self.move!r}")
+        if self.move == "exchange" and self.bonds is None:
+            raise ValueError("exchange move requires bonds")
+
+    @property
+    def _sweep_size(self) -> int:
+        return self.sweep_size or self.n_sites
+
+    def init_state(self, params, key: Array, n_walkers: int) -> WalkerState:
+        sector = "sz0" if self.move == "exchange" else None
+        s = init_walkers(key, n_walkers, self.n_sites, sector=sector)
+        return self.refresh(params, WalkerState(
+            s=s,
+            log_psi=C(jnp.zeros(n_walkers), jnp.zeros(n_walkers)),
+            n_accept=jnp.zeros(n_walkers, jnp.int32),
+            n_prop=jnp.zeros(n_walkers, jnp.int32),
+        ))
+
+    def refresh(self, params, state: WalkerState) -> WalkerState:
+        """Recompute stored log psi (call after every parameter update)."""
+        return state._replace(log_psi=self.log_psi_fn(params, state.s))
+
+    def _proposal_step(self, params, state: WalkerState, keys: Array
+                       ) -> WalkerState:
+        """One Metropolis proposal for every walker. keys: [M] key array."""
+        k_move, k_accept = jax.vmap(
+            lambda k: tuple(jax.random.split(k, 2))
+        )(keys)
+        if self.move == "flip":
+            s_new = _propose_flip(state.s, k_move, self.n_sites)
+        else:
+            s_new = _propose_exchange(state.s, k_move,
+                                      jnp.asarray(self.bonds))
+        log_psi_new = self.log_psi_fn(params, s_new)
+        # accept with prob min(1, |psi'/psi|^2) = min(1, exp(2 Re dlog))
+        log_ratio = 2.0 * (log_psi_new.re - state.log_psi.re)
+        u = jax.vmap(lambda k: jax.random.uniform(k))(k_accept)
+        accept = jnp.log(u) < log_ratio  # [M] bool
+        s = jnp.where(accept[:, None], s_new, state.s)
+        log_psi = C(
+            jnp.where(accept, log_psi_new.re, state.log_psi.re),
+            jnp.where(accept, log_psi_new.im, state.log_psi.im),
+        )
+        return WalkerState(
+            s=s,
+            log_psi=log_psi,
+            n_accept=state.n_accept + accept.astype(jnp.int32),
+            n_prop=state.n_prop + 1,
+        )
+
+    def sample(
+        self,
+        params,
+        state: WalkerState,
+        step_key: Array,
+        walker_ids: Array,
+        n_sweeps: int,
+    ) -> WalkerState:
+        """Advance every walker by ``n_sweeps`` sweeps.
+
+        step_key: scalar PRNG key for this sampling call (replicated across
+        devices). walker_ids: [M] *global* walker indices — each walker's
+        stream is fold_in(fold_in(step_key, t), walker_id) at proposal t, so
+        results are independent of device sharding.
+        """
+        n_props = n_sweeps * self._sweep_size
+
+        def step(carry, t):
+            st = carry
+            k_t = jax.random.fold_in(step_key, t)
+            keys = jax.vmap(lambda w: jax.random.fold_in(k_t, w))(walker_ids)
+            return self._proposal_step(params, st, keys), ()
+
+        state, _ = jax.lax.scan(step, state, jnp.arange(n_props))
+        return state
+
+    @staticmethod
+    def acceptance_rate(state: WalkerState) -> Array:
+        return state.n_accept.sum() / jnp.maximum(state.n_prop.sum(), 1)
+
+    @staticmethod
+    def reset_counters(state: WalkerState) -> WalkerState:
+        return state._replace(
+            n_accept=jnp.zeros_like(state.n_accept),
+            n_prop=jnp.zeros_like(state.n_prop),
+        )

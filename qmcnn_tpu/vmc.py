@@ -1,0 +1,157 @@
+"""The VMC driver: estimators, gradient, and the jitted training step
+(SURVEY.md L4, R5-R10 / N6, N8; call stacks section 3.1 and 3.4).
+
+One training step (all on device, one host dispatch):
+  sample -> local energy -> covariance gradient (surrogate loss) ->
+  [optional stochastic reconfiguration] -> optax update -> refreshed state.
+
+Gradient convention (real parameters — all params are real float32 pairs,
+see ops/cplx.py): F_k = Re[<O_k* dE>] with O_k = d log psi / d theta_k and
+dE = E_loc - <E>, obtained as jax.grad of the surrogate loss
+  L = mean(Re[conj(dE) * log psi]) .
+The true energy derivative is 2F; the factor is absorbed into the learning
+rate (documented here so lr comparisons with the literature are off by 2x).
+
+Distribution (SURVEY.md P1/P2): every estimator mean is wrapped in
+``pmean(axis_name)`` — with axis_name=None the wrapper is the identity
+(single-device path); under shard_map over the walker mesh axis it becomes a
+psum-over-ICI. The SR conjugate-gradient matvec uses the same hook.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from qmcnn_tpu.ops import cplx
+from qmcnn_tpu.ops.cplx import C
+from qmcnn_tpu.ops.local_energy import local_energy
+from qmcnn_tpu.sampler.metropolis import MetropolisSampler, WalkerState
+
+Array = jax.Array
+
+
+def pmean(x, axis_name: Optional[str]):
+    """Mean over the walker mesh axis; identity when not distributed."""
+    if axis_name is None:
+        return x
+    return jax.lax.pmean(x, axis_name)
+
+
+def pmean_c(z: C, axis_name: Optional[str]) -> C:
+    return C(pmean(z.re, axis_name), pmean(z.im, axis_name))
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    walkers: WalkerState
+    step: Array  # int32 scalar
+
+
+class StepMetrics(NamedTuple):
+    """Per-step scalar metrics (replicated across devices after pmean)."""
+
+    energy_re: Array
+    energy_im: Array
+    energy_var: Array
+    accept_rate: Array
+    grad_norm: Array
+    sr_iters: Array      # 0 when SR disabled
+    sr_residual: Array   # 0.0 when SR disabled
+
+
+def energy_and_grad(
+    log_psi_fn,
+    ham,
+    params,
+    walkers: WalkerState,
+    axis_name: Optional[str] = None,
+    chunk_size: Optional[int] = None,
+):
+    """(e_mean C, e_var, grads pytree, e_loc C[M]) from the current walkers."""
+    e_loc = local_energy(log_psi_fn, params, ham, walkers.s, walkers.log_psi,
+                         chunk_size=chunk_size)
+    e_mean = pmean_c(e_loc.mean(), axis_name)
+    centered = e_loc - e_mean  # broadcasts the scalar pair over [M]
+    e_var = pmean(centered.abs2().mean(), axis_name)
+    delta = jax.lax.stop_gradient(centered)
+
+    def loss_fn(p):
+        lp = log_psi_fn(p, walkers.s)
+        # L = mean Re[conj(dE) log psi]  ->  grad = Re[<O* dE>]
+        return jnp.mean(delta.re * lp.re + delta.im * lp.im)
+
+    grads = jax.grad(loss_fn)(params)
+    grads = jax.tree_util.tree_map(lambda g: pmean(g, axis_name), grads)
+    return e_mean, e_var, grads, e_loc
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class VMC:
+    """Binds model/hamiltonian/sampler/optimizer into a pure train step.
+
+    The returned ``step(state, key, walker_ids) -> (state, metrics)`` is a
+    pure function of its inputs; jit it directly (single device) or wrap in
+    shard_map via :mod:`qmcnn_tpu.parallel` (then ``axis_name='dp'``).
+    """
+
+    log_psi_fn: Callable[..., C]
+    ham: Any
+    sampler: MetropolisSampler
+    optimizer: optax.GradientTransformation
+    n_sweeps: int = 1
+    sr: Optional[Any] = None          # qmcnn_tpu.sr.SR instance or None
+    axis_name: Optional[str] = None
+    chunk_size: Optional[int] = None
+
+    def init_state(self, key: Array, n_walkers: int, params) -> TrainState:
+        walkers = self.sampler.init_state(params, key, n_walkers)
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            walkers=walkers,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def step(self, state: TrainState, key: Array, walker_ids: Array):
+        params = state.params
+        walkers = self.sampler.reset_counters(state.walkers)
+        walkers = self.sampler.refresh(params, walkers)
+        walkers = self.sampler.sample(params, walkers, key, walker_ids,
+                                      n_sweeps=self.n_sweeps)
+        e_mean, e_var, grads, e_loc = energy_and_grad(
+            self.log_psi_fn, self.ham, params, walkers,
+            axis_name=self.axis_name, chunk_size=self.chunk_size,
+        )
+        sr_iters = jnp.zeros((), jnp.int32)
+        sr_residual = jnp.zeros(())
+        if self.sr is not None:
+            grads, sr_iters, sr_residual = self.sr.solve(
+                self.log_psi_fn, params, walkers.s, grads, state.step,
+                axis_name=self.axis_name,
+            )
+        updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                   params)
+        params = optax.apply_updates(params, updates)
+        acc = pmean(MetropolisSampler.acceptance_rate(walkers),
+                    self.axis_name)
+        gnorm = optax.global_norm(grads)
+        metrics = StepMetrics(
+            energy_re=e_mean.re, energy_im=e_mean.im, energy_var=e_var,
+            accept_rate=acc, grad_norm=gnorm,
+            sr_iters=sr_iters, sr_residual=sr_residual,
+        )
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               walkers=walkers, step=state.step + 1)
+        return new_state, metrics
+
+    def thermalize(self, state: TrainState, key: Array, walker_ids: Array,
+                   n_sweeps: int) -> TrainState:
+        walkers = self.sampler.refresh(state.params, state.walkers)
+        walkers = self.sampler.sample(state.params, walkers, key, walker_ids,
+                                      n_sweeps=n_sweeps)
+        return state._replace(walkers=walkers)
