@@ -77,14 +77,16 @@ class TFIM(Hamiltonian):
         return self.lattice.n_sites
 
     @cached_property
-    def _bonds(self) -> jnp.ndarray:
-        return jnp.asarray(self.lattice.nn_bonds)
+    def _bonds(self) -> np.ndarray:
+        # NOTE: constants stay host-side numpy; jnp.asarray inside a trace
+        # would cache a tracer-bound constant (leaks across jit traces).
+        return self.lattice.nn_bonds
 
     @cached_property
-    def _flips(self) -> jnp.ndarray:
+    def _flips(self) -> np.ndarray:
         # [N, N]: row k multiplies site k by -1
         n = self.lattice.n_sites
-        return jnp.asarray(1.0 - 2.0 * np.eye(n, dtype=np.float32))
+        return (1.0 - 2.0 * np.eye(n, dtype=np.float32))
 
     def diag(self, s: Array) -> Array:
         b = self._bonds
@@ -92,7 +94,7 @@ class TFIM(Hamiltonian):
 
     def connected(self, s: Array) -> Tuple[Array, Array, Array]:
         n = self.lattice.n_sites
-        s_prime = s[None, :] * self._flips
+        s_prime = s[None, :] * jnp.asarray(self._flips)
         mel = jnp.full((n,), -self.h, dtype=s.dtype)
         mask = jnp.ones((n,), dtype=bool)
         return s_prime, mel, mask
@@ -141,11 +143,7 @@ class Heisenberg(Hamiltonian):
         return len(self._all_bonds)
 
     @cached_property
-    def _bonds_jnp(self) -> jnp.ndarray:
-        return jnp.asarray(self._all_bonds)
-
-    @cached_property
-    def _flip_matrix(self) -> jnp.ndarray:
+    def _flip_matrix(self) -> np.ndarray:
         # [K, N]: row b multiplies both sites of bond b by -1 (the exchange
         # of an anti-aligned pair == flipping both spins).
         k, n = len(self._all_bonds), self.lattice.n_sites
@@ -153,10 +151,10 @@ class Heisenberg(Hamiltonian):
         rows = np.arange(k)
         f[rows, self._all_bonds[:, 0]] = -1.0
         f[rows, self._all_bonds[:, 1]] = -1.0
-        return jnp.asarray(f)
+        return f
 
     @cached_property
-    def _offdiag_mel(self) -> jnp.ndarray:
+    def _offdiag_mel(self) -> np.ndarray:
         """[K] off-diagonal matrix element per bond (sign incl. Marshall)."""
         sub = self.lattice.sublattice_mask
         i, jj = self._all_bonds[:, 0], self._all_bonds[:, 1]
@@ -164,24 +162,24 @@ class Heisenberg(Hamiltonian):
             sign = np.where(sub[i] != sub[jj], -1.0, 1.0).astype(np.float32)
         else:
             sign = np.ones(len(i), dtype=np.float32)
-        return jnp.asarray(sign * self._couplings / 2.0)
+        return sign * self._couplings / 2.0
 
     @cached_property
-    def _diag_coupling(self) -> jnp.ndarray:
-        return jnp.asarray(self._couplings / 4.0)
+    def _diag_coupling(self) -> np.ndarray:
+        return self._couplings / 4.0
 
     def diag(self, s: Array) -> Array:
-        b = self._bonds_jnp
-        return jnp.sum(self._diag_coupling * s[b[:, 0]] * s[b[:, 1]])
+        b = self._all_bonds
+        return jnp.sum(jnp.asarray(self._diag_coupling) * s[b[:, 0]] * s[b[:, 1]])
 
     def connected(self, s: Array) -> Tuple[Array, Array, Array]:
-        b = self._bonds_jnp
+        b = self._all_bonds
         mask = s[b[:, 0]] * s[b[:, 1]] < 0  # anti-aligned bonds only
-        s_prime = s[None, :] * self._flip_matrix
+        s_prime = s[None, :] * jnp.asarray(self._flip_matrix)
         # Keep masked rows equal to s so their (ignored) forward pass is
         # numerically tame.
         s_prime = jnp.where(mask[:, None], s_prime, s[None, :])
-        return s_prime, self._offdiag_mel.astype(s.dtype), mask
+        return s_prime, jnp.asarray(self._offdiag_mel).astype(s.dtype), mask
 
 
 def j1j2(lattice: Lattice, j1: float = 1.0, j2: float = 0.5,

@@ -1,0 +1,353 @@
+"""Stochastic reconfiguration (natural gradient) — SURVEY.md R9 / N7.
+
+Solves (S + lambda I) delta = F where
+  S_kk' = Re[<O_k* O_k'> - <O_k*><O_k'>],   O_k = d log psi / d theta_k,
+for real parameters (all qmcnn_tpu params are real float32 — complex weights
+are (re, im) leaf pairs, see ops/cplx.py), and F is the covariance gradient
+from vmc.energy_and_grad.
+
+Three solver backends, all sharing the same pmean hooks so that under walker
+sharding every reduction is a psum-over-ICI and the solve is the exact
+global one (the north star's "distributed CG", SURVEY.md P2 — chips exchange
+only P-sized vectors, never samples):
+
+  * ``solver='cg'`` — matrix-free: ``jax.linearize`` + ``linear_transpose``
+    give S.v as one jvp + one vjp per iteration; O(P) memory. Plain CG in
+    f32 can diverge on ill-conditioned S (observed in training), so the loop
+    carries a finiteness guard and returns the last finite iterate.
+  * ``solver='pcg'`` (default) — materializes the centered Jacobian pair
+    O = (J_re, J_im) [M, P] with one vmapped backward pass (MXU-friendly;
+    memory M*P), computes diag(S) from it, and runs Jacobi-preconditioned
+    CG whose matvec is two [M,P] matmuls. Robust to the scale disparities
+    that break plain f32 CG.
+  * ``solver='dense'`` — builds S densely ([P, P] via one matmul) and solves
+    by Cholesky. Exact and cheapest for small nets (P up to a few thousand);
+    also the test oracle for the iterative paths.
+
+Diagonal shift schedule (Carleo & Troyer style):
+  lambda(p) = max(lambda0 * b^p, lambda_min).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+
+from qmcnn_tpu.ops.cplx import C
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# pytree linear algebra helpers
+# ---------------------------------------------------------------------------
+
+def tree_dot(a, b) -> Array:
+    leaves = jax.tree_util.tree_map(lambda x, y: jnp.vdot(x, y), a, b)
+    return jax.tree_util.tree_reduce(jnp.add, leaves)
+
+
+def tree_axpy(alpha, x, y):
+    """alpha * x + y"""
+    return jax.tree_util.tree_map(lambda xi, yi: alpha * xi + yi, x, y)
+
+
+def tree_sub(a, b):
+    return jax.tree_util.tree_map(jnp.subtract, a, b)
+
+
+def tree_zeros_like(a):
+    return jax.tree_util.tree_map(jnp.zeros_like, a)
+
+
+# ---------------------------------------------------------------------------
+# CG (pytree, guarded) and PCG (flat, Jacobi-preconditioned)
+# ---------------------------------------------------------------------------
+
+class CGResult(NamedTuple):
+    x: Any
+    iters: Array
+    residual: Array  # final ||r|| / ||b||
+
+
+def cg(matvec: Callable, b, x0=None, tol: float = 1e-5, maxiter: int = 100
+       ) -> CGResult:
+    """Conjugate gradient on pytrees for a symmetric PSD operator.
+
+    f32-hardened: if an iteration produces a non-finite residual norm the
+    loop stops and the previous (finite) iterate is returned.
+    """
+    x = tree_zeros_like(b) if x0 is None else x0
+    r = tree_sub(b, matvec(x))
+    p = r
+    rs = tree_dot(r, r)
+    b_norm = jnp.sqrt(tree_dot(b, b))
+    eps = jnp.asarray(1e-30, b_norm.dtype)
+    atol2 = (tol * b_norm) ** 2
+
+    def cond(carry):
+        _, _, _, rs, k, ok = carry
+        return ok & (rs > atol2) & (k < maxiter)
+
+    def body(carry):
+        x, r, p, rs, k, ok = carry
+        ap = matvec(p)
+        alpha = rs / jnp.maximum(tree_dot(p, ap), eps)
+        x_new = tree_axpy(alpha, p, x)
+        r_new = tree_axpy(-alpha, ap, r)
+        rs_new = tree_dot(r_new, r_new)
+        good = jnp.isfinite(rs_new) & jnp.isfinite(alpha)
+        beta = rs_new / jnp.maximum(rs, eps)
+        p_new = tree_axpy(beta, p, r_new)
+        # on a bad step keep the previous iterate and stop
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(good, n, o), new, old)
+        return (keep(x_new, x), keep(r_new, r), keep(p_new, p),
+                jnp.where(good, rs_new, rs), k + 1, good)
+
+    x, r, p, rs, k, ok = jax.lax.while_loop(
+        cond, body,
+        (x, r, p, rs, jnp.zeros((), jnp.int32), jnp.asarray(True)),
+    )
+    return CGResult(x=x, iters=k,
+                    residual=jnp.sqrt(rs) / jnp.maximum(b_norm, eps))
+
+
+def pcg_flat(matvec: Callable, b: Array, inv_diag: Array,
+             tol: float = 1e-5, maxiter: int = 100) -> CGResult:
+    """Jacobi-preconditioned CG on flat [P] vectors."""
+    x = jnp.zeros_like(b)
+    r = b - matvec(x)
+    z = inv_diag * r
+    p = z
+    rz = jnp.vdot(r, z)
+    b_norm = jnp.linalg.norm(b)
+    eps = jnp.asarray(1e-30, b.dtype)
+    atol2 = (tol * b_norm) ** 2
+
+    def cond(carry):
+        _, r, _, _, rz, k, ok = carry
+        return ok & (jnp.vdot(r, r) > atol2) & (k < maxiter)
+
+    def body(carry):
+        x, r, p, z, rz, k, ok = carry
+        ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, ap), eps)
+        x_new = x + alpha * p
+        r_new = r - alpha * ap
+        z_new = inv_diag * r_new
+        rz_new = jnp.vdot(r_new, z_new)
+        good = jnp.isfinite(rz_new) & jnp.isfinite(alpha)
+        beta = rz_new / jnp.maximum(rz, eps)
+        p_new = z_new + beta * p
+        w = lambda n, o: jnp.where(good, n, o)
+        return (w(x_new, x), w(r_new, r), w(p_new, p), w(z_new, z),
+                jnp.where(good, rz_new, rz), k + 1, good)
+
+    x, r, p, z, rz, k, ok = jax.lax.while_loop(
+        cond, body,
+        (x, r, p, z, rz, jnp.zeros((), jnp.int32), jnp.asarray(True)),
+    )
+    res = jnp.linalg.norm(r) / jnp.maximum(b_norm, eps)
+    return CGResult(x=x, iters=k, residual=res)
+
+
+# ---------------------------------------------------------------------------
+# S operators
+# ---------------------------------------------------------------------------
+
+def _pmean(x, axis_name):
+    return x if axis_name is None else jax.lax.pmean(x, axis_name)
+
+
+def _pmean_tree(t, axis_name):
+    if axis_name is None:
+        return t
+    return jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, axis_name), t)
+
+
+def make_s_matvec(
+    log_psi_fn,
+    params,
+    s: Array,
+    diag_shift: Array,
+    axis_name: Optional[str] = None,
+):
+    """Matrix-free (S + lambda I) pytree matvec (the 'cg' backend)."""
+    m_local = s.shape[0]
+
+    def f(p) -> C:
+        return log_psi_fn(p, s)
+
+    _, f_jvp = jax.linearize(f, params)
+    f_vjp = jax.linear_transpose(f_jvp, params)
+
+    # obar = <O> (complex mean row of the Jacobian), as a (re, im) leaf pair:
+    # Re[J^dag w] with w = (1/M, 0) gives obar_re; with (0, 1/M) gives obar_im.
+    ones = jnp.ones(m_local, jnp.float32) / m_local
+    zeros = jnp.zeros(m_local, jnp.float32)
+    (obar_re,) = f_vjp(C(ones, zeros))
+    (obar_im,) = f_vjp(C(zeros, ones))
+    obar_re = _pmean_tree(obar_re, axis_name)
+    obar_im = _pmean_tree(obar_im, axis_name)
+
+    def matvec(v):
+        t = f_jvp(v)  # C pair [m_local]: (J v) as (re, im)
+        (jtv,) = f_vjp(C(t.re / m_local, t.im / m_local))  # Re[J^dag J v]/M
+        jtv = _pmean_tree(jtv, axis_name)
+        m_re = _pmean(t.re.mean(), axis_name)
+        m_im = _pmean(t.im.mean(), axis_name)
+        rank1 = jax.tree_util.tree_map(
+            lambda ore, oim: ore * m_re + oim * m_im, obar_re, obar_im
+        )
+        return jax.tree_util.tree_map(
+            lambda a, b, vi: a - b + diag_shift * vi, jtv, rank1, v
+        )
+
+    return matvec
+
+
+def materialize_jacobian(log_psi_fn, params, s: Array,
+                         chunk_size: Optional[int] = None
+                         ) -> Tuple[Array, Array, Callable]:
+    """Centered score matrices (J_re, J_im) [M, P] + the unravel fn.
+
+    One vmapped backward pass per component (re, im); optionally chunked
+    over samples with lax.map to bound peak memory.
+    """
+    flat0, unravel = jax.flatten_util.ravel_pytree(params)
+
+    def row(si):
+        def f_re(p):
+            return log_psi_fn(p, si[None, :]).re[0]
+
+        def f_im(p):
+            return log_psi_fn(p, si[None, :]).im[0]
+
+        gr, _ = jax.flatten_util.ravel_pytree(jax.grad(f_re)(params))
+        gi, _ = jax.flatten_util.ravel_pytree(jax.grad(f_im)(params))
+        return gr, gi
+
+    if chunk_size is None or chunk_size >= s.shape[0]:
+        j_re, j_im = jax.vmap(row)(s)
+    else:
+        m = s.shape[0]
+        if m % chunk_size:
+            raise ValueError(f"chunk_size {chunk_size} must divide M={m}")
+        chunks = s.reshape(m // chunk_size, chunk_size, -1)
+        j_re, j_im = jax.lax.map(jax.vmap(row), chunks)
+        j_re = j_re.reshape(m, -1)
+        j_im = j_im.reshape(m, -1)
+    return j_re, j_im, unravel
+
+
+class JacobianSOperator(NamedTuple):
+    """Centered Jacobian pair + diag(S); matvec = two [M,P] matmuls."""
+
+    oc_re: Array  # [M, P] centered
+    oc_im: Array
+    diag_s: Array  # [P] diagonal of the *global* S
+    m_local: int
+    axis_name: Optional[str]
+
+    def matvec(self, v: Array, diag_shift: Array) -> Array:
+        tr = self.oc_re @ v
+        ti = self.oc_im @ v
+        out = (tr @ self.oc_re + ti @ self.oc_im) / self.m_local
+        out = _pmean(out, self.axis_name)
+        return out + diag_shift * v
+
+
+def make_jacobian_s(log_psi_fn, params, s: Array,
+                    axis_name: Optional[str] = None,
+                    chunk_size: Optional[int] = None) -> JacobianSOperator:
+    j_re, j_im, _ = materialize_jacobian(log_psi_fn, params, s, chunk_size)
+    m = s.shape[0]
+    mean_re = _pmean(j_re.mean(axis=0), axis_name)
+    mean_im = _pmean(j_im.mean(axis=0), axis_name)
+    oc_re = j_re - mean_re[None, :]
+    oc_im = j_im - mean_im[None, :]
+    diag_s = _pmean((oc_re * oc_re + oc_im * oc_im).mean(axis=0), axis_name)
+    return JacobianSOperator(oc_re=oc_re, oc_im=oc_im, diag_s=diag_s,
+                             m_local=m, axis_name=axis_name)
+
+
+# ---------------------------------------------------------------------------
+# the SR transform
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SR:
+    """SR gradient transform plugged into the VMC step (SURVEY.md N7/N8).
+
+    Args:
+      solver: 'pcg' (Jacobi-preconditioned, materialized Jacobian; default),
+        'cg' (matrix-free, O(P) memory), or 'dense' (Cholesky; small nets).
+      diag_shift0 / diag_shift_decay / diag_shift_min: lambda schedule
+        lambda(step) = max(shift0 * decay^step, shift_min).
+      proportional_shift: if True the shift is lambda * mean(diag(S))
+        (scale-invariant regularization; 'pcg'/'dense' only).
+      cg_tol, cg_maxiter: iterative stopping criteria.
+      jacobian_chunk: sample-chunking for the materialized Jacobian.
+    """
+
+    solver: str = "pcg"
+    diag_shift0: float = 1.0
+    diag_shift_decay: float = 0.95
+    diag_shift_min: float = 1e-2
+    proportional_shift: bool = False
+    cg_tol: float = 1e-4
+    cg_maxiter: int = 100
+    jacobian_chunk: Optional[int] = None
+
+    def diag_shift(self, step: Array) -> Array:
+        return jnp.maximum(
+            self.diag_shift0 * self.diag_shift_decay ** step,
+            self.diag_shift_min,
+        )
+
+    def solve(
+        self,
+        log_psi_fn,
+        params,
+        s: Array,
+        grads,
+        step: Array,
+        axis_name: Optional[str] = None,
+    ) -> Tuple[Any, Array, Array]:
+        """Returns (natural_gradient pytree, iters, residual)."""
+        shift = self.diag_shift(step)
+        if self.solver == "cg":
+            matvec = make_s_matvec(log_psi_fn, params, s, shift,
+                                   axis_name=axis_name)
+            r = cg(matvec, grads, tol=self.cg_tol, maxiter=self.cg_maxiter)
+            return r.x, r.iters, r.residual
+
+        op = make_jacobian_s(log_psi_fn, params, s, axis_name=axis_name,
+                             chunk_size=self.jacobian_chunk)
+        if self.proportional_shift:
+            shift = shift * jnp.maximum(op.diag_s.mean(), 1e-12)
+        b, unravel = jax.flatten_util.ravel_pytree(grads)
+
+        if self.solver == "pcg":
+            inv_diag = 1.0 / (op.diag_s + shift)
+            r = pcg_flat(lambda v: op.matvec(v, shift), b, inv_diag,
+                         tol=self.cg_tol, maxiter=self.cg_maxiter)
+            return unravel(r.x), r.iters, r.residual
+
+        if self.solver == "dense":
+            s_dense = (op.oc_re.T @ op.oc_re
+                       + op.oc_im.T @ op.oc_im) / op.m_local
+            s_dense = _pmean(s_dense, axis_name)
+            p = b.shape[0]
+            a = s_dense + shift * jnp.eye(p, dtype=b.dtype)
+            factor = jax.scipy.linalg.cho_factor(a)
+            x = jax.scipy.linalg.cho_solve(factor, b)
+            resid = jnp.linalg.norm(a @ x - b) / jnp.maximum(
+                jnp.linalg.norm(b), 1e-30)
+            return unravel(x), jnp.zeros((), jnp.int32), resid
+
+        raise ValueError(f"unknown solver {self.solver!r}")

@@ -7,6 +7,7 @@ Two-layer validation:
     formula evaluated on the same walker batch with uniform weights.
 """
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 

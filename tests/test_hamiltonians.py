@@ -107,3 +107,29 @@ def test_heisenberg_chain_ground_energy_value():
     e = exact.ground_energy(exact.sparse_heisenberg(8, lat.nn_bonds, j=1.0))
     # Bethe ansatz finite chain N=8: E0/J = -3.6510934...
     np.testing.assert_allclose(e, -3.6510934089371783, rtol=1e-9)
+
+
+def test_first_touch_inside_jit_no_tracer_leak():
+    """Regression: Hamiltonian constants must not be materialized as jnp
+    arrays inside a trace and cached (UnexpectedTracerError across jits)."""
+    import jax
+    import jax.numpy as jnp
+
+    lat = chain(6)
+    for ham in [TFIM(lat), Heisenberg(lat), j1j2(square(2, 4))]:
+        n = ham.lattice.n_sites
+        s = jnp.ones((3, n), jnp.float32)
+
+        @jax.jit
+        def first(s):
+            sp, mel, mask = ham.connected_batch(s)
+            return ham.diag_batch(s) + (mel * mask).sum(-1)
+
+        first(s).block_until_ready()
+
+        @jax.jit
+        def second(s):  # second, distinct trace must reuse cleanly
+            sp, mel, mask = ham.connected_batch(s)
+            return (mel * mask).sum()
+
+        second(s).block_until_ready()

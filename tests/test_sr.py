@@ -1,0 +1,154 @@
+"""SR tests (SURVEY.md section 4): matrix-free S matvec vs a densely
+materialized S on a small net, CG vs np.linalg.solve, and the shift
+schedule."""
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+
+from qmcnn_tpu.models.cnn import LogPsiCNN, log_psi_apply
+from qmcnn_tpu.sr import SR, cg, make_s_matvec, tree_dot
+
+N = 6
+M = 40
+
+
+def setup(complex_params=True):
+    model = LogPsiCNN(lattice_shape=(N,), channels=(3,), param_scale=0.3,
+                      complex_params=complex_params)
+    v = model.init(jax.random.key(3), jnp.ones((1, N), jnp.float32))
+
+    def log_psi_fn(params, s):
+        return log_psi_apply(model, params, s)
+
+    s = (2.0 * jax.random.bernoulli(jax.random.key(0), 0.5, (M, N)) - 1.0
+         ).astype(jnp.float32)
+    return v, log_psi_fn, s
+
+
+def dense_s(log_psi_fn, params, s):
+    flat, unravel = jax.flatten_util.ravel_pytree(params)
+
+    def f_re(fp, si):
+        return log_psi_fn(unravel(fp), si[None, :]).re[0]
+
+    def f_im(fp, si):
+        return log_psi_fn(unravel(fp), si[None, :]).im[0]
+
+    j_re = np.asarray(jax.vmap(jax.grad(f_re), (None, 0))(flat, s))
+    j_im = np.asarray(jax.vmap(jax.grad(f_im), (None, 0))(flat, s))
+    o = j_re + 1j * j_im  # [M, P]
+    oc = o - o.mean(axis=0, keepdims=True)
+    return np.real(np.conj(oc).T @ oc) / s.shape[0], unravel, flat
+
+
+def test_matvec_matches_dense():
+    for complex_params in [False, True]:
+        v, log_psi_fn, s = setup(complex_params)
+        params = v
+        s_dense, unravel, flat = dense_s(log_psi_fn, params, s)
+        shift = 0.05
+        matvec = make_s_matvec(log_psi_fn, params, s, jnp.asarray(shift))
+        rng = np.random.default_rng(1)
+        for _ in range(3):
+            vec = rng.normal(size=flat.size).astype(np.float32)
+            got, _ = jax.flatten_util.ravel_pytree(matvec(unravel(vec)))
+            want = (s_dense + shift * np.eye(flat.size)) @ vec
+            np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3,
+                                       atol=2e-5)
+
+
+def test_cg_solves_dense_system():
+    v, log_psi_fn, s = setup()
+    s_dense, unravel, flat = dense_s(log_psi_fn, v, s)
+    shift = 0.1
+    a = s_dense + shift * np.eye(flat.size)
+    rng = np.random.default_rng(2)
+    b = rng.normal(size=flat.size).astype(np.float32) * 0.01
+    want = np.linalg.solve(a, b)
+    matvec = make_s_matvec(log_psi_fn, v, s, jnp.asarray(shift))
+    result = cg(matvec, unravel(jnp.asarray(b)), tol=1e-7, maxiter=500)
+    got, _ = jax.flatten_util.ravel_pytree(result.x)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-3, atol=1e-5)
+    assert int(result.iters) > 0
+    assert float(result.residual) < 1e-5
+
+
+def test_cg_pytree_identity():
+    """CG on the identity operator returns b in one iteration."""
+    b = {"a": jnp.arange(4.0), "b": jnp.ones((2, 3))}
+    res = cg(lambda v: v, b, tol=1e-8)
+    got, _ = jax.flatten_util.ravel_pytree(res.x)
+    want, _ = jax.flatten_util.ravel_pytree(b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    assert int(res.iters) <= 2
+
+
+def test_diag_shift_schedule():
+    sr = SR(diag_shift0=10.0, diag_shift_decay=0.5, diag_shift_min=0.1)
+    np.testing.assert_allclose(float(sr.diag_shift(jnp.asarray(0))), 10.0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(sr.diag_shift(jnp.asarray(2))), 2.5,
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(sr.diag_shift(jnp.asarray(50))), 0.1,
+                               rtol=1e-6)
+
+
+def test_sr_solve_jits_and_preconditions():
+    """(S + lambda) delta = F must hold for the returned delta."""
+    v, log_psi_fn, s = setup()
+    s_dense, unravel, flat = dense_s(log_psi_fn, v, s)
+    rng = np.random.default_rng(3)
+    f_vec = rng.normal(size=flat.size).astype(np.float32) * 0.01
+    grads = unravel(jnp.asarray(f_vec))
+    sr = SR(diag_shift0=0.1, diag_shift_decay=1.0, diag_shift_min=0.1,
+            cg_tol=1e-7, cg_maxiter=500)
+    solve = jax.jit(lambda p, s_, g, st: sr.solve(log_psi_fn, p, s_, g, st))
+    delta, iters, residual = solve(v, s, grads, jnp.asarray(0))
+    d, _ = jax.flatten_util.ravel_pytree(delta)
+    lhs = (s_dense + 0.1 * np.eye(flat.size)) @ np.asarray(d)
+    np.testing.assert_allclose(lhs, f_vec, rtol=5e-3, atol=1e-6)
+
+
+def test_pcg_and_dense_solvers_match_oracle():
+    """All three SR backends must agree with np.linalg.solve."""
+    v, log_psi_fn, s = setup()
+    s_dense, unravel, flat = dense_s(log_psi_fn, v, s)
+    rng = np.random.default_rng(4)
+    f_vec = rng.normal(size=flat.size).astype(np.float32) * 0.01
+    grads = unravel(jnp.asarray(f_vec))
+    shift = 0.1
+    want = np.linalg.solve(s_dense + shift * np.eye(flat.size), f_vec)
+    for solver in ["cg", "pcg", "dense"]:
+        sr = SR(solver=solver, diag_shift0=shift, diag_shift_decay=1.0,
+                diag_shift_min=shift, cg_tol=1e-7, cg_maxiter=500)
+        delta, iters, res = jax.jit(
+            lambda p, s_, g, st: sr.solve(log_psi_fn, p, s_, g, st)
+        )(v, s, grads, jnp.asarray(0))
+        d, _ = jax.flatten_util.ravel_pytree(delta)
+        np.testing.assert_allclose(np.asarray(d), want, rtol=1e-2, atol=1e-5,
+                                   err_msg=f"solver={solver}")
+
+
+def test_jacobian_chunking_matches():
+    from qmcnn_tpu.sr import make_jacobian_s
+
+    v, log_psi_fn, s = setup()
+    full = make_jacobian_s(log_psi_fn, v, s)
+    chunked = make_jacobian_s(log_psi_fn, v, s, chunk_size=8)
+    np.testing.assert_allclose(np.asarray(full.oc_re),
+                               np.asarray(chunked.oc_re), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(full.diag_s),
+                               np.asarray(chunked.diag_s), rtol=1e-5,
+                               atol=1e-7)
+
+
+def test_proportional_shift_runs():
+    v, log_psi_fn, s = setup()
+    grads = jax.tree_util.tree_map(lambda x: 0.01 * jnp.ones_like(x), v)
+    sr = SR(solver="pcg", proportional_shift=True, diag_shift0=0.1,
+            diag_shift_decay=1.0, diag_shift_min=0.1)
+    delta, iters, res = sr.solve(log_psi_fn, v, s, grads, jnp.asarray(0))
+    d, _ = jax.flatten_util.ravel_pytree(delta)
+    assert np.all(np.isfinite(np.asarray(d)))
