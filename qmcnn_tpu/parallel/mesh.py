@@ -1,0 +1,154 @@
+"""Walker data-parallelism over a device mesh (SURVEY.md P1-P3).
+
+The framework's (only) parallelism, matching the physics: MCMC walkers are
+i.i.d., so they shard across chips on a 1D mesh axis ``'dp'`` while
+parameters and optimizer state replicate. Estimator means and every SR-CG
+matvec reduce with ``jax.lax.pmean`` over the axis — XLA lowers these to
+psum-over-ICI; mesh + collectives ARE the communication backend (no
+NCCL/MPI analogue needed; multi-host pods would call
+``jax.distributed.initialize()`` first and build the mesh over all
+processes' devices).
+
+Design properties:
+  * the per-shard step function is the SAME ``VMC.step`` code that runs
+    single-device — ``axis_name`` switches the pmean hooks on;
+  * per-walker PRNG streams are keyed by *global* walker id (computed from
+    ``axis_index``), so an n-device run is walker-for-walker identical to a
+    single-device run (tested in tests/test_distributed.py);
+  * only P-sized pytrees and scalars cross chips; walkers never migrate.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qmcnn_tpu.ops.cplx import C
+from qmcnn_tpu.sampler.metropolis import MetropolisSampler, WalkerState
+from qmcnn_tpu.vmc import StepMetrics, TrainState, VMC
+
+AXIS = "dp"
+
+
+def walker_mesh(n_devices: Optional[int] = None,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """1D mesh over the walker axis; defaults to all visible devices."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devs)} visible"
+            )
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (AXIS,))
+
+
+def _walker_specs() -> WalkerState:
+    return WalkerState(
+        s=P(AXIS), log_psi=C(P(AXIS), P(AXIS)),
+        n_accept=P(AXIS), n_prop=P(AXIS),
+    )
+
+
+def _state_specs(state: TrainState) -> TrainState:
+    rep = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
+    return TrainState(
+        params=rep(state.params),
+        opt_state=rep(state.opt_state),
+        walkers=_walker_specs(),
+        step=P(),
+    )
+
+
+def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place a host-built TrainState onto the mesh (walkers sharded on
+    'dp', everything else replicated). Total walkers must divide the mesh."""
+    n_dev = mesh.shape[AXIS]
+    m = state.walkers.s.shape[0]
+    if m % n_dev:
+        raise ValueError(f"n_walkers={m} not divisible by mesh size {n_dev}")
+    specs = _state_specs(state)
+    return jax.tree_util.tree_map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+        state, specs,
+    )
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ShardedVMC:
+    """VMC train step wrapped in shard_map over the walker mesh.
+
+    Build with :func:`make_sharded_vmc`; ``step(state, key)`` and
+    ``thermalize(state, key, n_sweeps)`` are jitted and run one host
+    dispatch per call, with psum-over-ICI inside (SURVEY.md section 3.1).
+    """
+
+    vmc: VMC
+    mesh: Mesh
+    _step_fn: callable
+    _make_therm_fn: callable
+
+    def init_state(self, key, n_walkers: int, params) -> TrainState:
+        state = self.vmc.init_state(key, n_walkers, params)
+        return shard_train_state(state, self.mesh)
+
+    def step(self, state: TrainState, key):
+        return self._step_fn(state, key)
+
+    def thermalize(self, state: TrainState, key, n_sweeps: int):
+        return self._make_therm_fn(n_sweeps)(state, key)
+
+
+def make_sharded_vmc(vmc: VMC, mesh: Mesh, state_template: TrainState
+                     ) -> ShardedVMC:
+    """Wrap a VMC (built with axis_name=AXIS) in shard_map + jit.
+
+    ``state_template`` supplies the pytree structure (an unsharded state from
+    ``vmc.init_state`` is fine) for partition-spec construction.
+    """
+    if vmc.axis_name != AXIS:
+        raise ValueError(
+            f"VMC must be built with axis_name={AXIS!r} to run sharded; "
+            f"got {vmc.axis_name!r}"
+        )
+    specs = _state_specs(state_template)
+    metric_specs = StepMetrics(*([P()] * len(StepMetrics._fields)))
+
+    def local_ids(m_local: int):
+        dev = jax.lax.axis_index(AXIS)
+        return dev * m_local + jnp.arange(m_local)
+
+    def step_local(state: TrainState, key):
+        m_local = state.walkers.s.shape[0]
+        return vmc.step(state, key, local_ids(m_local))
+
+    key_spec = P()  # replicated scalar PRNG key
+    step_sharded = jax.jit(shard_map(
+        step_local, mesh=mesh,
+        in_specs=(specs, key_spec),
+        out_specs=(specs, metric_specs),
+        check_rep=False,
+    ))
+
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def make_therm(n_sweeps: int):
+        def therm_local(state: TrainState, key):
+            m_local = state.walkers.s.shape[0]
+            return vmc.thermalize(state, key, local_ids(m_local), n_sweeps)
+
+        return jax.jit(shard_map(
+            therm_local, mesh=mesh,
+            in_specs=(specs, key_spec),
+            out_specs=specs,
+            check_rep=False,
+        ))
+
+    return ShardedVMC(vmc=vmc, mesh=mesh, _step_fn=step_sharded,
+                      _make_therm_fn=make_therm)

@@ -1,0 +1,140 @@
+"""Distributed tests on 8 virtual CPU devices (SURVEY.md section 4,
+'Distributed' tier): the n-device shard_map run must match the 1-device run
+walker-for-walker (same global walker seeds), which also catches the classic
+double-pmean bug (any mis-placed collective changes values by ~n_dev)."""
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from qmcnn_tpu.lattice import chain
+from qmcnn_tpu.models.cnn import LogPsiCNN, log_psi_apply
+from qmcnn_tpu.ops.hamiltonians import TFIM, Heisenberg
+from qmcnn_tpu.parallel.mesh import make_sharded_vmc, walker_mesh
+from qmcnn_tpu.sampler.metropolis import MetropolisSampler
+from qmcnn_tpu.sr import SR
+from qmcnn_tpu.vmc import VMC
+
+N = 8
+M = 64
+
+
+def build(axis_name, move="flip", sr=None):
+    lat = chain(N)
+    ham = TFIM(lat, h=1.0) if move == "flip" else Heisenberg(lat)
+    model = LogPsiCNN(lattice_shape=(N,), channels=(4,), param_scale=0.1)
+
+    def log_psi_fn(p, s):
+        return log_psi_apply(model, p, s)
+
+    params = model.init(jax.random.key(0), jnp.ones((1, N), jnp.float32))
+    bonds = lat.nn_bonds if move == "exchange" else None
+    sampler = MetropolisSampler(log_psi_fn, n_sites=N, move=move, bonds=bonds)
+    vmc = VMC(log_psi_fn=log_psi_fn, ham=ham, sampler=sampler,
+              optimizer=optax.sgd(0.02), n_sweeps=1, sr=sr,
+              axis_name=axis_name)
+    return vmc, params
+
+
+def flat(tree):
+    return np.asarray(jax.flatten_util.ravel_pytree(tree)[0])
+
+
+@pytest.mark.parametrize("move", ["flip", "exchange"])
+def test_sharded_step_matches_single_device(eight_devices, move):
+    mesh = walker_mesh(8)
+    vmc1, params = build(axis_name=None, move=move)
+    vmc8, _ = build(axis_name="dp", move=move)
+
+    state1 = vmc1.init_state(jax.random.key(1), M, params)
+    sharded = make_sharded_vmc(vmc8, mesh, state1)
+    state8 = sharded.init_state(jax.random.key(1), M, params)
+
+    np.testing.assert_array_equal(np.asarray(state1.walkers.s),
+                                  np.asarray(state8.walkers.s))
+
+    step1 = jax.jit(vmc1.step)
+    ids = jnp.arange(M)
+    for it in range(3):
+        key = jax.random.fold_in(jax.random.key(2), it)
+        state1, m1 = step1(state1, key, ids)
+        state8, m8 = sharded.step(state8, key)
+        # identical proposals/accepts -> identical walkers
+        np.testing.assert_array_equal(np.asarray(state1.walkers.s),
+                                      np.asarray(state8.walkers.s))
+        # estimators equal up to reduction order
+        np.testing.assert_allclose(float(m1.energy_re), float(m8.energy_re),
+                                   rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(float(m1.energy_var), float(m8.energy_var),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(float(m1.accept_rate),
+                                   float(m8.accept_rate), rtol=1e-6)
+        np.testing.assert_allclose(flat(state1.params), flat(state8.params),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_sharded_sr_matches_single_device(eight_devices):
+    """Distributed CG: pmean inside every matvec must reproduce the global
+    solve (SURVEY.md P2)."""
+    mesh = walker_mesh(8)
+    sr = SR(solver="cg", diag_shift0=0.1, diag_shift_decay=1.0,
+            diag_shift_min=0.1, cg_tol=1e-6, cg_maxiter=200)
+    vmc1, params = build(axis_name=None, sr=sr)
+    vmc8, _ = build(axis_name="dp", sr=sr)
+    state1 = vmc1.init_state(jax.random.key(1), M, params)
+    sharded = make_sharded_vmc(vmc8, mesh, state1)
+    state8 = sharded.init_state(jax.random.key(1), M, params)
+
+    key = jax.random.key(5)
+    state1, m1 = jax.jit(vmc1.step)(state1, key, jnp.arange(M))
+    state8, m8 = sharded.step(state8, key)
+    np.testing.assert_allclose(flat(state1.params), flat(state8.params),
+                               rtol=5e-3, atol=5e-6)
+    np.testing.assert_allclose(float(m1.energy_re), float(m8.energy_re),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_pcg_and_dense_run(eight_devices):
+    """pcg/dense SR backends execute under shard_map and stay finite."""
+    mesh = walker_mesh(8)
+    for solver in ["pcg", "dense"]:
+        sr = SR(solver=solver, diag_shift0=0.1, diag_shift_decay=1.0,
+                diag_shift_min=0.1)
+        vmc8, params = build(axis_name="dp", sr=sr)
+        tmpl_vmc, _ = build(axis_name=None, sr=None)
+        tmpl = tmpl_vmc.init_state(jax.random.key(1), M, params)
+        sharded = make_sharded_vmc(vmc8, mesh, tmpl)
+        state = sharded.init_state(jax.random.key(1), M, params)
+        state, m = sharded.step(state, jax.random.key(6))
+        assert np.isfinite(float(m.energy_re)), solver
+        assert np.all(np.isfinite(flat(state.params))), solver
+
+
+def test_thermalize_sharded(eight_devices):
+    mesh = walker_mesh(8)
+    vmc8, params = build(axis_name="dp")
+    tmpl_vmc, _ = build(axis_name=None)
+    tmpl = tmpl_vmc.init_state(jax.random.key(1), M, params)
+    sharded = make_sharded_vmc(vmc8, mesh, tmpl)
+    state = sharded.init_state(jax.random.key(1), M, params)
+    out = sharded.thermalize(state, jax.random.key(7), n_sweeps=2)
+    assert out.walkers.s.shape == (M, N)
+    # matches unsharded thermalize walker-for-walker
+    tmpl_therm = tmpl_vmc.thermalize(tmpl, jax.random.key(7), jnp.arange(M),
+                                     n_sweeps=2)
+    np.testing.assert_array_equal(np.asarray(out.walkers.s),
+                                  np.asarray(tmpl_therm.walkers.s))
+
+
+def test_mesh_validation():
+    mesh = walker_mesh(8)
+    vmc8, params = build(axis_name="dp")
+    state = build(axis_name=None)[0].init_state(jax.random.key(1), 60, params)
+    from qmcnn_tpu.parallel.mesh import shard_train_state
+    with pytest.raises(ValueError):
+        shard_train_state(state, mesh)  # 60 walkers not divisible by 8
+    with pytest.raises(ValueError):
+        vmc_bad, _ = build(axis_name=None)
+        make_sharded_vmc(vmc_bad, mesh, state)
