@@ -132,7 +132,7 @@ def make_sharded_vmc(vmc: VMC, mesh: Mesh, state_template: TrainState
         step_local, mesh=mesh,
         in_specs=(specs, key_spec),
         out_specs=(specs, metric_specs),
-        check_rep=False,
+        check_vma=False,
     ))
 
     import functools
@@ -147,7 +147,7 @@ def make_sharded_vmc(vmc: VMC, mesh: Mesh, state_template: TrainState
             therm_local, mesh=mesh,
             in_specs=(specs, key_spec),
             out_specs=specs,
-            check_rep=False,
+            check_vma=False,
         ))
 
     return ShardedVMC(vmc=vmc, mesh=mesh, _step_fn=step_sharded,
