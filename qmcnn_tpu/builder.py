@@ -1,0 +1,136 @@
+"""Config -> framework objects (the L5 glue; SURVEY.md layer map).
+
+``build(config)`` wires lattice, ansatz, Hamiltonian, sampler, optimizer and
+(optionally) SR into a :class:`qmcnn_tpu.vmc.VMC`, and ``build_sharded``
+additionally wraps it over the walker mesh.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from qmcnn_tpu.configs import Config
+from qmcnn_tpu.lattice import Lattice
+from qmcnn_tpu.models.cnn import LogPsiCNN, TranslationAveraged, log_psi_apply
+from qmcnn_tpu.ops.hamiltonians import TFIM, Heisenberg
+from qmcnn_tpu.parallel.mesh import ShardedVMC, make_sharded_vmc, walker_mesh
+from qmcnn_tpu.sampler.metropolis import MetropolisSampler
+from qmcnn_tpu.sr import SR
+from qmcnn_tpu.vmc import VMC
+
+
+def build_lattice(cfg: Config) -> Lattice:
+    return Lattice(tuple(cfg.lattice.shape), pbc=cfg.lattice.pbc)
+
+
+def build_hamiltonian(cfg: Config, lattice: Lattice):
+    h = cfg.hamiltonian
+    if h.kind == "tfim":
+        return TFIM(lattice, j=h.j, h=h.h)
+    if h.kind == "heisenberg":
+        return Heisenberg(lattice, j=h.j, marshall=h.marshall)
+    if h.kind == "j1j2":
+        return Heisenberg(lattice, j=h.j, j2=h.j2, marshall=h.marshall)
+    raise ValueError(f"unknown hamiltonian kind {h.kind!r}")
+
+
+def build_model(cfg: Config, lattice: Lattice):
+    m = cfg.model
+    inner = LogPsiCNN(
+        lattice_shape=tuple(lattice.shape),
+        channels=tuple(m.channels),
+        kernel_size=m.kernel_size,
+        complex_params=m.complex_params,
+        param_scale=m.param_scale,
+    )
+    if m.translation_average:
+        return TranslationAveraged(inner=inner,
+                                   lattice_shape=tuple(lattice.shape),
+                                   shift_stride=m.shift_stride)
+    return inner
+
+
+def build_optimizer(cfg: Config) -> optax.GradientTransformation:
+    o = cfg.optimizer
+    if o.kind == "sgd":
+        base = optax.sgd(o.lr, momentum=o.momentum)
+    elif o.kind == "adam":
+        base = optax.adam(o.lr)
+    else:
+        raise ValueError(f"unknown optimizer kind {o.kind!r}")
+    if o.clip_norm is not None:
+        return optax.chain(optax.clip_by_global_norm(o.clip_norm), base)
+    return base
+
+
+def build_sr(cfg: Config) -> Optional[SR]:
+    s = cfg.sr
+    if not s.enabled:
+        return None
+    return SR(
+        solver=s.solver,
+        diag_shift0=s.diag_shift0,
+        diag_shift_decay=s.diag_shift_decay,
+        diag_shift_min=s.diag_shift_min,
+        proportional_shift=s.proportional_shift,
+        cg_tol=s.cg_tol,
+        cg_maxiter=s.cg_maxiter,
+        jacobian_chunk=s.jacobian_chunk,
+    )
+
+
+def resolve_move(cfg: Config) -> str:
+    if cfg.sampler.move != "auto":
+        return cfg.sampler.move
+    return "flip" if cfg.hamiltonian.kind == "tfim" else "exchange"
+
+
+def build(cfg: Config, axis_name: Optional[str] = None
+          ) -> Tuple[VMC, dict, Lattice]:
+    """Returns (vmc, initial params, lattice)."""
+    lattice = build_lattice(cfg)
+    ham = build_hamiltonian(cfg, lattice)
+    model = build_model(cfg, lattice)
+
+    def log_psi_fn(params, s):
+        return log_psi_apply(model, params, s)
+
+    params = model.init(
+        jax.random.key(cfg.run.seed),
+        jnp.ones((1, lattice.n_sites), jnp.float32),
+    )
+    move = resolve_move(cfg)
+    sampler = MetropolisSampler(
+        log_psi_fn,
+        n_sites=lattice.n_sites,
+        move=move,
+        bonds=lattice.nn_bonds if move == "exchange" else None,
+        sweep_size=cfg.sampler.sweep_size,
+    )
+    vmc = VMC(
+        log_psi_fn=log_psi_fn,
+        ham=ham,
+        sampler=sampler,
+        optimizer=build_optimizer(cfg),
+        n_sweeps=cfg.sampler.n_sweeps_per_step,
+        sr=build_sr(cfg),
+        axis_name=axis_name,
+        chunk_size=cfg.run.chunk_size,
+    )
+    return vmc, params, lattice
+
+
+def build_sharded(cfg: Config) -> Tuple[ShardedVMC, dict, Lattice]:
+    """Build over the walker mesh (all visible or run.n_devices devices)."""
+    mesh = walker_mesh(cfg.run.n_devices)
+    vmc, params, lattice = build(cfg, axis_name="dp")
+    template_vmc, _, _ = build(cfg, axis_name=None)
+    # abstract evaluation: pytree structure only, no compute
+    template = jax.eval_shape(
+        lambda key, p: template_vmc.init_state(key, cfg.sampler.n_walkers, p),
+        jax.random.key(cfg.run.seed + 1), params,
+    )
+    return make_sharded_vmc(vmc, mesh, template), params, lattice

@@ -1,0 +1,181 @@
+"""Experiment configuration (SURVEY.md R12 / N10): frozen dataclasses with
+YAML serialization and dotted-key overrides.
+
+configs/ ships one file per BASELINE config (tfim16_sgd, heis40_exchange,
+heis8x8_cnn, j1j2_8x8_complex, heis10x10_sr). CLI:
+  python -m qmcnn_tpu.train --config configs/tfim16_sgd.yaml \
+      --override run.n_steps=500 --override optimizer.lr=0.02
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import yaml
+
+
+@dataclass(frozen=True)
+class LatticeConfig:
+    shape: Tuple[int, ...] = (16,)
+    pbc: bool = True
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    channels: Tuple[int, ...] = (8, 8)
+    kernel_size: int = 3
+    complex_params: bool = False
+    param_scale: float = 0.05
+    #: explicit zero-momentum projection (logmeanexp over translations);
+    #: the spatial-sum CNN is already invariant, so keep False unless the
+    #: reference's explicit averaging is wanted (costs n_sites forwards).
+    translation_average: bool = False
+    shift_stride: int = 1
+
+
+@dataclass(frozen=True)
+class HamiltonianConfig:
+    kind: str = "tfim"  # tfim | heisenberg | j1j2
+    j: float = 1.0
+    h: float = 1.0      # TFIM transverse field
+    j2: float = 0.0     # J1-J2 frustration (kind='j1j2')
+    marshall: bool = True
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    n_walkers: int = 1024
+    move: str = "auto"  # auto -> flip for TFIM, exchange for Heisenberg
+    n_sweeps_per_step: int = 1
+    n_therm_sweeps: int = 50
+    sweep_size: Optional[int] = None  # proposals per sweep; default n_sites
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    kind: str = "sgd"  # sgd | adam
+    lr: float = 0.02
+    clip_norm: Optional[float] = 1.0
+    momentum: Optional[float] = None
+
+
+@dataclass(frozen=True)
+class SRConfig:
+    enabled: bool = False
+    solver: str = "pcg"  # pcg | cg | dense
+    diag_shift0: float = 1.0
+    diag_shift_decay: float = 0.95
+    diag_shift_min: float = 1e-2
+    proportional_shift: bool = False
+    cg_tol: float = 1e-4
+    cg_maxiter: int = 200
+    jacobian_chunk: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    n_steps: int = 1000
+    seed: int = 0
+    log_every: int = 10
+    csv_path: Optional[str] = None
+    ckpt_dir: Optional[str] = None
+    ckpt_every: int = 200
+    ckpt_keep: int = 3
+    n_devices: Optional[int] = None  # None = all visible devices
+    chunk_size: Optional[int] = None  # local-energy walker chunking
+    validate_against_ed: bool = True  # only runs when n_sites <= 20
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "experiment"
+    lattice: LatticeConfig = field(default_factory=LatticeConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    hamiltonian: HamiltonianConfig = field(default_factory=HamiltonianConfig)
+    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    sr: SRConfig = field(default_factory=SRConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+
+# ---------------------------------------------------------------------------
+# (de)serialization
+# ---------------------------------------------------------------------------
+
+def _to_dict(cfg) -> dict:
+    d = dataclasses.asdict(cfg)
+
+    def tuples_to_lists(x):
+        if isinstance(x, dict):
+            return {k: tuples_to_lists(v) for k, v in x.items()}
+        if isinstance(x, tuple):
+            return list(x)
+        return x
+
+    return tuples_to_lists(d)
+
+
+_TUPLE_FIELDS = {"shape", "channels"}
+
+
+def _from_dict(data: dict) -> Config:
+    def sub(cls, d):
+        if d is None:
+            return cls()
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name in d:
+                v = d[f.name]
+                if f.name in _TUPLE_FIELDS and isinstance(v, list):
+                    v = tuple(v)
+                kwargs[f.name] = v
+        unknown = set(d) - {f.name for f in dataclasses.fields(cls)}
+        if unknown:
+            raise ValueError(f"unknown {cls.__name__} keys: {sorted(unknown)}")
+        return cls(**kwargs)
+
+    return Config(
+        name=data.get("name", "experiment"),
+        lattice=sub(LatticeConfig, data.get("lattice")),
+        model=sub(ModelConfig, data.get("model")),
+        hamiltonian=sub(HamiltonianConfig, data.get("hamiltonian")),
+        sampler=sub(SamplerConfig, data.get("sampler")),
+        optimizer=sub(OptimizerConfig, data.get("optimizer")),
+        sr=sub(SRConfig, data.get("sr")),
+        run=sub(RunConfig, data.get("run")),
+    )
+
+
+def to_yaml(cfg: Config) -> str:
+    return yaml.safe_dump(_to_dict(cfg), sort_keys=False)
+
+
+def from_yaml(text: str) -> Config:
+    return _from_dict(yaml.safe_load(text) or {})
+
+
+def load(path: str, overrides: Tuple[str, ...] = ()) -> Config:
+    """Load a YAML config and apply ``section.key=value`` overrides."""
+    with open(path) as f:
+        cfg = from_yaml(f.read())
+    return apply_overrides(cfg, overrides)
+
+
+def apply_overrides(cfg: Config, overrides) -> Config:
+    data = _to_dict(cfg)
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be section.key=value: {ov!r}")
+        path, _, raw = ov.partition("=")
+        keys = path.split(".")
+        value = yaml.safe_load(raw)
+        d = data
+        for k in keys[:-1]:
+            if k not in d:
+                raise KeyError(f"unknown config section {k!r} in {ov!r}")
+            d = d[k]
+        if keys[-1] not in d:
+            raise KeyError(f"unknown config key {keys[-1]!r} in {ov!r}")
+        d[keys[-1]] = value
+    return _from_dict(data)

@@ -1,0 +1,124 @@
+"""Training entry point (SURVEY.md L5):
+
+  python -m qmcnn_tpu.train --config configs/tfim16_sgd.yaml \
+      [--override section.key=value ...]
+
+Runs the full VMC loop over the walker mesh (all visible devices), streams
+metrics to stdout/CSV, checkpoints via Orbax, and — for exactly
+diagonalizable systems (n_sites <= 20) — reports the relative error vs the
+ED ground energy (the BASELINE acceptance metric).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qmcnn_tpu import configs as cfglib
+from qmcnn_tpu.builder import build_hamiltonian, build_lattice, build_sharded
+from qmcnn_tpu.utils.metrics import MetricsLogger, binned_stderr
+
+
+def exact_reference_energy(cfg) -> Optional[float]:
+    """ED ground energy for small systems (host scipy Lanczos)."""
+    lattice = build_lattice(cfg)
+    if lattice.n_sites > 20 or not cfg.run.validate_against_ed:
+        return None
+    from qmcnn_tpu.ops import exact
+
+    h = cfg.hamiltonian
+    if h.kind == "tfim":
+        sp = exact.sparse_tfim(lattice.n_sites, lattice.nn_bonds, j=h.j, h=h.h)
+    elif h.kind == "heisenberg":
+        sp = exact.sparse_heisenberg(lattice.n_sites, lattice.nn_bonds, j=h.j)
+    elif h.kind == "j1j2":
+        sp = exact.sparse_heisenberg(lattice.n_sites, lattice.nn_bonds,
+                                     j=h.j, nnn_bonds=lattice.nnn_bonds,
+                                     j2=h.j2)
+    else:
+        return None
+    return exact.ground_energy(sp)
+
+
+def train(cfg, ckpt_manager=None, logger=None):
+    """Run the configured experiment; returns (final state, logger)."""
+    sharded, params, lattice = build_sharded(cfg)
+    n_sites = lattice.n_sites
+    m = cfg.sampler.n_walkers
+    logger = logger or MetricsLogger(csv_path=cfg.run.csv_path,
+                                     print_every=cfg.run.log_every)
+
+    key = jax.random.key(cfg.run.seed + 100)
+    state = sharded.init_state(jax.random.fold_in(key, 0), m, params)
+
+    start_step = 0
+    if ckpt_manager is not None and ckpt_manager.latest_step() is not None:
+        state = ckpt_manager.restore(state)
+        start_step = int(state.step)
+        print(f"resumed from checkpoint at step {start_step}")
+    else:
+        state = sharded.thermalize(state, jax.random.fold_in(key, 1),
+                                   n_sweeps=cfg.sampler.n_therm_sweeps)
+
+    e_exact = exact_reference_energy(cfg)
+    sweeps_per_step = cfg.sampler.n_sweeps_per_step
+    t_last = time.perf_counter()
+    for it in range(start_step, cfg.run.n_steps):
+        state, metrics = sharded.step(state, jax.random.fold_in(key, 2 + it))
+        if (it + 1) % cfg.run.log_every == 0 or it == cfg.run.n_steps - 1:
+            jax.block_until_ready(metrics.energy_re)
+            now = time.perf_counter()
+            dt = (now - t_last) / cfg.run.log_every
+            t_last = now
+            row = {
+                "energy_re": float(metrics.energy_re),
+                "energy_im": float(metrics.energy_im),
+                "energy_var": float(metrics.energy_var),
+                "e_per_site": float(metrics.energy_re) / n_sites,
+                "accept": float(metrics.accept_rate),
+                "grad_norm": float(metrics.grad_norm),
+                "sr_iters": int(metrics.sr_iters),
+                "sweeps_per_sec": sweeps_per_step * m / max(dt, 1e-9),
+            }
+            if e_exact is not None:
+                row["rel_err"] = abs(row["energy_re"] - e_exact) / abs(e_exact)
+            logger.log(it + 1, row)
+        if (ckpt_manager is not None
+                and (it + 1) % cfg.run.ckpt_every == 0):
+            ckpt_manager.save(it + 1, state)
+
+    if ckpt_manager is not None:
+        ckpt_manager.save(cfg.run.n_steps, state)
+
+    e_tail, e_err = logger.tail_energy()
+    print(f"final energy (tail mean): {e_tail:.6f} +- {e_err:.6f}"
+          f"  ({e_tail / n_sites:.6f}/site)")
+    if e_exact is not None:
+        rel = abs(e_tail - e_exact) / abs(e_exact)
+        print(f"exact: {e_exact:.6f}  relative error: {rel:.3e}")
+    return state, logger
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True, help="YAML config path")
+    p.add_argument("--override", action="append", default=[],
+                   metavar="section.key=value")
+    args = p.parse_args(argv)
+    cfg = cfglib.load(args.config, tuple(args.override))
+    print(f"=== {cfg.name} ===")
+    print(cfglib.to_yaml(cfg))
+    ckpt = None
+    if cfg.run.ckpt_dir:
+        from qmcnn_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(cfg.run.ckpt_dir, keep=cfg.run.ckpt_keep)
+    train(cfg, ckpt_manager=ckpt)
+
+
+if __name__ == "__main__":
+    main()

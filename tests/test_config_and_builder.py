@@ -1,0 +1,105 @@
+"""Config round-trip, overrides, builder wiring for all five BASELINE
+configs, and a CLI smoke train (SURVEY.md R12/N10)."""
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qmcnn_tpu import configs as cfglib
+from qmcnn_tpu.builder import build, build_sharded
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def test_yaml_roundtrip():
+    cfg = cfglib.Config(name="x")
+    text = cfglib.to_yaml(cfg)
+    back = cfglib.from_yaml(text)
+    assert back == cfg
+
+
+def test_overrides():
+    cfg = cfglib.Config()
+    out = cfglib.apply_overrides(
+        cfg, ["optimizer.lr=0.5", "run.n_steps=7", "sr.enabled=true",
+              "model.channels=[4, 4]"]
+    )
+    assert out.optimizer.lr == 0.5
+    assert out.run.n_steps == 7
+    assert out.sr.enabled is True
+    assert out.model.channels == (4, 4)
+    with pytest.raises(KeyError):
+        cfglib.apply_overrides(cfg, ["optimizer.nope=1"])
+    with pytest.raises(ValueError):
+        cfglib.apply_overrides(cfg, ["garbage"])
+
+
+def test_unknown_yaml_key_rejected():
+    with pytest.raises(ValueError):
+        cfglib.from_yaml("model: {bogus_key: 3}")
+
+
+@pytest.mark.parametrize(
+    "path", sorted(glob.glob(os.path.join(CONFIG_DIR, "*.yaml")))
+)
+def test_baseline_configs_build(path):
+    """Every shipped BASELINE config must load and build end-to-end."""
+    cfg = cfglib.load(path)
+    vmc, params, lattice = build(cfg)
+    assert lattice.n_sites == int(np.prod(cfg.lattice.shape))
+    # one cheap forward to prove model/params wiring
+    s = jnp.ones((2, lattice.n_sites), jnp.float32)
+    out = vmc.log_psi_fn(params, s)
+    assert out.re.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(out.re)))
+
+
+def test_train_smoke(tmp_path):
+    """Tiny end-to-end run through the CLI train() path incl. CSV metrics."""
+    from qmcnn_tpu.train import train
+
+    cfg = cfglib.from_yaml(f"""
+name: smoke
+lattice: {{shape: [8]}}
+model: {{channels: [4]}}
+hamiltonian: {{kind: tfim, h: 1.0}}
+sampler: {{n_walkers: 64, move: flip, n_therm_sweeps: 5}}
+optimizer: {{kind: sgd, lr: 0.05}}
+run: {{n_steps: 6, log_every: 2, csv_path: '{tmp_path}/m.csv'}}
+""")
+    state, logger = train(cfg)
+    assert int(state.step) == 6
+    assert os.path.exists(f"{tmp_path}/m.csv")
+    e = logger.history["energy_re"]
+    assert len(e) >= 2 and all(np.isfinite(e))
+    assert "rel_err" in logger.history  # N=8 -> ED validation active
+
+
+def test_train_resume(tmp_path):
+    """Checkpoint save/restore continues from the saved step."""
+    from qmcnn_tpu.train import train
+    from qmcnn_tpu.utils.checkpoint import CheckpointManager
+
+    yaml_cfg = f"""
+name: resume
+lattice: {{shape: [8]}}
+model: {{channels: [4]}}
+hamiltonian: {{kind: tfim}}
+sampler: {{n_walkers: 64, move: flip, n_therm_sweeps: 3}}
+optimizer: {{kind: sgd, lr: 0.05}}
+run: {{n_steps: 4, log_every: 2, ckpt_every: 2}}
+"""
+    cfg = cfglib.from_yaml(yaml_cfg)
+    ck = CheckpointManager(str(tmp_path / "ck"), keep=2)
+    state1, _ = train(cfg, ckpt_manager=ck)
+    assert ck.latest_step() == 4
+    # extend to 6 steps; must resume from 4, not rerun from 0
+    cfg2 = cfglib.apply_overrides(cfg, ["run.n_steps=6"])
+    ck2 = CheckpointManager(str(tmp_path / "ck"), keep=2)
+    state2, _ = train(cfg2, ckpt_manager=ck2)
+    assert int(state2.step) == 6
+    ck.close()
+    ck2.close()
