@@ -1,0 +1,155 @@
+"""Primary benchmark: walker sweeps/sec/chip on the flagship 10x10
+Heisenberg CNN (BASELINE.json metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measurement protocol (the axon TPU tunnel has ~30 ms fixed per-dispatch
+overhead and very slow host transfers, so naive per-call timing lies):
+  * the sampler runs K full sweeps inside ONE jitted lax.scan dispatch;
+  * rate = (K2 - K1) * n_walkers / (t(K2) - t(K1)) — differencing two scan
+    lengths cancels the fixed dispatch cost;
+  * only a scalar leaves the device.
+
+vs_baseline: the reference (dmaloneynygc/qmcnn) is a CPU code with no
+published numbers and an empty reference mount (SURVEY.md section 0), so the
+stand-in baseline is THIS framework's identical sweep benchmark on the host
+CPU (XLA CPU, all cores) — a strong stand-in for the reference's
+numpy/framework CPU walker loop. The CPU rate is measured in a subprocess
+(JAX cannot host two platforms here) and cached in .bench_cpu_cache.json.
+North star: >10x (BASELINE.md).
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cpu_cache.json")
+
+# benchmark workload (flagship: BASELINE config 5 shapes)
+N_WALKERS = 2048
+LATTICE = (10, 10)
+CHANNELS = (16, 16, 16)
+SWEEPS_SHORT = 2
+SWEEPS_LONG = 10
+
+
+def build_sweep_fn():
+    import jax
+    import jax.numpy as jnp
+
+    from qmcnn_tpu import configs as cfglib
+    from qmcnn_tpu.builder import build
+
+    cfg = cfglib.Config(
+        lattice=cfglib.LatticeConfig(shape=LATTICE),
+        model=cfglib.ModelConfig(channels=CHANNELS, kernel_size=3),
+        hamiltonian=cfglib.HamiltonianConfig(kind="heisenberg"),
+        sampler=cfglib.SamplerConfig(n_walkers=N_WALKERS, move="exchange"),
+    )
+    vmc, params, lattice = build(cfg)
+    sampler = vmc.sampler
+    key = jax.random.key(0)
+    state = sampler.init_state(params, key, N_WALKERS)
+    ids = jnp.arange(N_WALKERS)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def run(state, key, n_sweeps):
+        out = sampler.sample(params, state, key, ids, n_sweeps=n_sweeps)
+        # scalar result only; depends on the full walker state
+        return out.s.sum() + out.log_psi.re.sum()
+
+    return run, state, key
+
+
+def measure_rate() -> float:
+    """Sweeps/sec via scan-length differencing (dispatch cost cancelled)."""
+    run, state, key = build_sweep_fn()
+
+    def timed(n, reps=3):
+        float(run(state, key, n))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(run(state, key, n))
+        return (time.perf_counter() - t0) / reps
+
+    t_short = timed(SWEEPS_SHORT)
+    t_long = timed(SWEEPS_LONG)
+    dt_per_sweep = max((t_long - t_short) / (SWEEPS_LONG - SWEEPS_SHORT),
+                       1e-9)
+    return N_WALKERS / dt_per_sweep  # walker-sweeps per second
+
+
+def workload_fingerprint() -> str:
+    blob = json.dumps([N_WALKERS, LATTICE, CHANNELS, "v1"]).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def cpu_baseline_rate() -> float:
+    fp = workload_fingerprint()
+    if os.path.exists(CACHE):
+        try:
+            data = json.load(open(CACHE))
+            if data.get("fingerprint") == fp:
+                return float(data["rate"])
+        except Exception:
+            pass
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+    )
+    rate = None
+    for line in out.stdout.splitlines():
+        if line.startswith("CPU_RATE"):
+            rate = float(line.split()[1])
+    if rate is None:
+        raise RuntimeError(
+            f"cpu baseline failed:\n{out.stdout}\n{out.stderr}"
+        )
+    json.dump({"fingerprint": fp, "rate": rate}, open(CACHE, "w"))
+    return rate
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu-baseline", action="store_true",
+                   help="measure on CPU and print CPU_RATE (internal)")
+    p.add_argument("--no-baseline", action="store_true",
+                   help="skip the CPU stand-in baseline (vs_baseline=null)")
+    args = p.parse_args()
+
+    if args.cpu_baseline:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        rate = measure_rate()
+        print(f"CPU_RATE {rate:.6f}")
+        return
+
+    rate = measure_rate()
+    vs = None
+    if not args.no_baseline:
+        try:
+            cpu_rate = cpu_baseline_rate()
+            vs = rate / cpu_rate
+        except Exception as e:  # never let the baseline sink the bench
+            print(f"# cpu baseline unavailable: {e}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "walker_sweeps_per_sec_per_chip",
+        "value": round(rate, 2),
+        "unit": "sweeps/s/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
