@@ -45,6 +45,7 @@ def build_model(cfg: Config, lattice: Lattice):
         kernel_size=m.kernel_size,
         complex_params=m.complex_params,
         param_scale=m.param_scale,
+        conv_impl=m.conv_impl,
     )
     if m.translation_average:
         return TranslationAveraged(inner=inner,

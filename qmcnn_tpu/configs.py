@@ -32,6 +32,9 @@ class ModelConfig:
     #: reference's explicit averaging is wanted (costs n_sites forwards).
     translation_average: bool = False
     shift_stride: int = 1
+    #: circular-conv compute path: auto | direct | roll | circulant
+    #: (auto = circulant/roll matmul forms on TPU, direct lax.conv on CPU)
+    conv_impl: str = "auto" 
 
 
 @dataclass(frozen=True)
@@ -77,6 +80,9 @@ class SRConfig:
 class RunConfig:
     n_steps: int = 1000
     seed: int = 0
+    #: training steps fused into one device dispatch (lax.scan over steps);
+    #: amortizes host round trips (~30ms each on the TPU tunnel)
+    steps_per_dispatch: int = 10
     log_every: int = 10
     csv_path: Optional[str] = None
     ckpt_dir: Optional[str] = None

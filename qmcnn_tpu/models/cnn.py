@@ -21,12 +21,14 @@ log-amplitude arrays (im identically zero for real models).
 """
 from __future__ import annotations
 
+import functools
 import itertools
 from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qmcnn_tpu.ops import cplx
 from qmcnn_tpu.ops.cplx import C
@@ -58,6 +60,106 @@ def _real_conv(x: Array, w: Array) -> Array:
     )
 
 
+# ---------------------------------------------------------------------------
+# Circular-conv implementations (one parameter layout, three compute paths)
+#
+# XLA's TPU conv emitter is far from peak on VMC shapes (tiny spatial dims,
+# narrow channels, huge batch), so the hot path re-expresses the circular
+# conv as MXU-native matmuls:
+#   * 'roll'      — im2col via jnp.roll: stack the K shifted copies on the
+#                   channel axis, one [B*N, K*Cin] @ [K*Cin, Cout] matmul.
+#                   O(K*Cin*N*B) memory, any lattice size.
+#   * 'circulant' — materialize the circulant weight matrix [N*Cin, N*Cout]
+#                   (linear in w, rebuilt per step and hoisted out of the
+#                   sweep scan by XLA) and do one [B, N*Cin] @ [N*Cin,
+#                   N*Cout] matmul. More FLOPs (N/K^d x) but the best MXU
+#                   shape for small lattices; avoid for large N.
+#   * 'direct'    — lax.conv_general_dilated (XLA CPU convs are fine; used
+#                   as the correctness reference).
+# ---------------------------------------------------------------------------
+
+def _tap_offsets(kernel: Tuple[int, ...]):
+    """Offsets per tap matching lax.conv with (k-1)//2 left wrap-padding."""
+    ranges = [[t - (k - 1) // 2 for t in range(k)] for k in kernel]
+    return list(itertools.product(*ranges))
+
+
+@functools.lru_cache(maxsize=None)
+def _tap_onehot(lattice_shape: Tuple[int, ...], kernel: Tuple[int, ...]
+                ) -> np.ndarray:
+    """[N, T, N] one-hot: out site p via tap t reads input site q."""
+    n = int(np.prod(lattice_shape))
+    coords = np.stack(np.unravel_index(np.arange(n), lattice_shape), -1)
+    offs = _tap_offsets(kernel)
+    onehot = np.zeros((n, len(offs), n), np.float32)
+    for t, off in enumerate(offs):
+        src = (coords + np.asarray(off)) % np.asarray(lattice_shape)
+        idx = np.ravel_multi_index(src.T, lattice_shape)
+        onehot[np.arange(n), t, idx] = 1.0
+    return onehot
+
+
+def circulant_weight(w: Array, lattice_shape: Tuple[int, ...]) -> Array:
+    """Expand kernel [*k, Cin, Cout] to the circulant [N*Cin, N*Cout]."""
+    kernel = w.shape[:-2]
+    cin, cout = w.shape[-2], w.shape[-1]
+    n = int(np.prod(lattice_shape))
+    onehot = jnp.asarray(_tap_onehot(tuple(lattice_shape), tuple(kernel)))
+    wt = w.reshape(-1, cin, cout)  # [T, Cin, Cout]
+    wc = jnp.einsum("ptq,tio->qipo", onehot, wt)
+    return wc.reshape(n * cin, n * cout)
+
+
+def _conv_roll(x: Array, w: Array, lattice_shape: Tuple[int, ...]) -> Array:
+    """im2col via rolls + one matmul. x: [B, *sp, Cin] -> [B, *sp, Cout]."""
+    kernel = w.shape[:-2]
+    cin, cout = w.shape[-2], w.shape[-1]
+    b = x.shape[0]
+    n = int(np.prod(lattice_shape))
+    axes = tuple(range(1, 1 + len(lattice_shape)))
+    stacked = jnp.concatenate(
+        [jnp.roll(x, tuple(-o for o in off), axis=axes)
+         for off in _tap_offsets(kernel)],
+        axis=-1,
+    )  # [B, *sp, T*Cin]
+    t = len(_tap_offsets(kernel))
+    y = stacked.reshape(b * n, t * cin) @ w.reshape(t * cin, cout)
+    return y.reshape(b, *lattice_shape, cout)
+
+
+def _conv_circulant(x: Array, w: Array, lattice_shape: Tuple[int, ...]
+                    ) -> Array:
+    b = x.shape[0]
+    cin, cout = w.shape[-2], w.shape[-1]
+    n = int(np.prod(lattice_shape))
+    wc = circulant_weight(w, lattice_shape)
+    y = x.reshape(b, n * cin) @ wc
+    return y.reshape(b, *lattice_shape, cout)
+
+
+def resolve_conv_impl(impl: str, lattice_shape: Tuple[int, ...]) -> str:
+    """'auto': circulant on TPU for small lattices (best MXU shape), roll on
+    TPU otherwise, direct conv on CPU/GPU (their conv emitters are fine)."""
+    if impl != "auto":
+        return impl
+    if jax.default_backend() == "cpu":
+        return "direct"
+    n = int(np.prod(lattice_shape))
+    return "circulant" if n <= 256 else "roll"
+
+
+def apply_conv(x: Array, w: Array, lattice_shape: Tuple[int, ...],
+               impl: str) -> Array:
+    impl = resolve_conv_impl(impl, lattice_shape)
+    if impl == "direct":
+        return _real_conv(_circular_pad(x, w.shape[:-2]), w)
+    if impl == "roll":
+        return _conv_roll(x, w, lattice_shape)
+    if impl == "circulant":
+        return _conv_circulant(x, w, lattice_shape)
+    raise ValueError(f"unknown conv impl {impl!r}")
+
+
 class ComplexConv(nn.Module):
     """Circular complex convolution; weights = (kernel_re, kernel_im) leaves.
 
@@ -68,8 +170,10 @@ class ComplexConv(nn.Module):
 
     features: int
     kernel_size: Tuple[int, ...]
+    lattice_shape: Tuple[int, ...]
     param_scale: float = 0.05
     use_bias: bool = True
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, z) -> C:
@@ -79,16 +183,15 @@ class ComplexConv(nn.Module):
                        shape, jnp.float32)
         b = self.param("kernel_im", nn.initializers.normal(self.param_scale),
                        shape, jnp.float32)
+        conv = lambda x, w: apply_conv(x, w, self.lattice_shape,
+                                       self.conv_impl)
         if isinstance(z, C):
-            x = _circular_pad(z.re, self.kernel_size)
-            y = _circular_pad(z.im, self.kernel_size)
-            p1 = _real_conv(x, a)
-            p2 = _real_conv(y, b)
-            p3 = _real_conv(x + y, a + b)
+            p1 = conv(z.re, a)
+            p2 = conv(z.im, b)
+            p3 = conv(z.re + z.im, a + b)
             out = C(p1 - p2, p3 - p1 - p2)
         else:
-            x = _circular_pad(z, self.kernel_size)
-            out = C(_real_conv(x, a), _real_conv(x, b))
+            out = C(conv(z, a), conv(z, b))
         if self.use_bias:
             br = self.param("bias_re", nn.initializers.zeros,
                             (self.features,), jnp.float32)
@@ -103,8 +206,10 @@ class RealConv(nn.Module):
 
     features: int
     kernel_size: Tuple[int, ...]
+    lattice_shape: Tuple[int, ...]
     param_scale: float = 0.05
     use_bias: bool = True
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -112,7 +217,7 @@ class RealConv(nn.Module):
         w = self.param("kernel", nn.initializers.normal(self.param_scale),
                        (*self.kernel_size, in_features, self.features),
                        jnp.float32)
-        out = _real_conv(_circular_pad(x, self.kernel_size), w)
+        out = apply_conv(x, w, self.lattice_shape, self.conv_impl)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
@@ -135,6 +240,7 @@ class LogPsiCNN(nn.Module):
     kernel_size: int | Tuple[int, ...] = 3
     complex_params: bool = False
     param_scale: float = 0.05
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, s: Array) -> C:
@@ -147,13 +253,17 @@ class LogPsiCNN(nn.Module):
         if self.complex_params:
             for c in self.channels:
                 x = ComplexConv(features=c, kernel_size=ksz,
-                                param_scale=self.param_scale)(x)
+                                lattice_shape=tuple(self.lattice_shape),
+                                param_scale=self.param_scale,
+                                conv_impl=self.conv_impl)(x)
                 x = cplx.lncosh(x)
             return C(x.re.reshape(batch, -1).sum(-1),
                      x.im.reshape(batch, -1).sum(-1))
         for c in self.channels:
             x = RealConv(features=c, kernel_size=ksz,
-                         param_scale=self.param_scale)(x)
+                         lattice_shape=tuple(self.lattice_shape),
+                         param_scale=self.param_scale,
+                         conv_impl=self.conv_impl)(x)
             x = cplx.lncosh_real(x)
         out = x.reshape(batch, -1).sum(-1)
         return C(out, jnp.zeros_like(out))

@@ -92,6 +92,7 @@ class ShardedVMC:
     mesh: Mesh
     _step_fn: callable
     _make_therm_fn: callable
+    _make_run_fn: callable
 
     def init_state(self, key, n_walkers: int, params) -> TrainState:
         state = self.vmc.init_state(key, n_walkers, params)
@@ -102,6 +103,11 @@ class ShardedVMC:
 
     def thermalize(self, state: TrainState, key, n_sweeps: int):
         return self._make_therm_fn(n_sweeps)(state, key)
+
+    def run_steps(self, state: TrainState, base_key, n_steps: int):
+        """n_steps sharded training steps in one dispatch (see
+        VMC.run_steps); returns (state, metrics stacked [n_steps])."""
+        return self._make_run_fn(n_steps)(state, base_key)
 
 
 def make_sharded_vmc(vmc: VMC, mesh: Mesh, state_template: TrainState
@@ -150,5 +156,20 @@ def make_sharded_vmc(vmc: VMC, mesh: Mesh, state_template: TrainState
             check_vma=False,
         ))
 
+    @functools.lru_cache(maxsize=None)
+    def make_run(n_steps: int):
+        def run_local(state: TrainState, base_key):
+            m_local = state.walkers.s.shape[0]
+            return vmc.run_steps(state, base_key, local_ids(m_local), n_steps)
+
+        stacked_metric_specs = StepMetrics(
+            *([P()] * len(StepMetrics._fields)))
+        return jax.jit(shard_map(
+            run_local, mesh=mesh,
+            in_specs=(specs, key_spec),
+            out_specs=(specs, stacked_metric_specs),
+            check_vma=False,
+        ))
+
     return ShardedVMC(vmc=vmc, mesh=mesh, _step_fn=step_sharded,
-                      _make_therm_fn=make_therm)
+                      _make_therm_fn=make_therm, _make_run_fn=make_run)

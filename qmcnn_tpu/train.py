@@ -66,30 +66,42 @@ def train(cfg, ckpt_manager=None, logger=None):
 
     e_exact = exact_reference_energy(cfg)
     sweeps_per_step = cfg.sampler.n_sweeps_per_step
-    t_last = time.perf_counter()
-    for it in range(start_step, cfg.run.n_steps):
-        state, metrics = sharded.step(state, jax.random.fold_in(key, 2 + it))
-        if (it + 1) % cfg.run.log_every == 0 or it == cfg.run.n_steps - 1:
-            jax.block_until_ready(metrics.energy_re)
-            now = time.perf_counter()
-            dt = (now - t_last) / cfg.run.log_every
-            t_last = now
-            row = {
-                "energy_re": float(metrics.energy_re),
-                "energy_im": float(metrics.energy_im),
-                "energy_var": float(metrics.energy_var),
-                "e_per_site": float(metrics.energy_re) / n_sites,
-                "accept": float(metrics.accept_rate),
-                "grad_norm": float(metrics.grad_norm),
-                "sr_iters": int(metrics.sr_iters),
-                "sweeps_per_sec": sweeps_per_step * m / max(dt, 1e-9),
-            }
-            if e_exact is not None:
-                row["rel_err"] = abs(row["energy_re"] - e_exact) / abs(e_exact)
-            logger.log(it + 1, row)
+    base_key = jax.random.fold_in(key, 2)  # per-step keys derived on device
+    it = start_step
+    while it < cfg.run.n_steps:
+        chunk = min(cfg.run.steps_per_dispatch, cfg.run.n_steps - it)
+        t0 = time.perf_counter()
+        state, metrics = sharded.run_steps(state, base_key, chunk)
+        jax.block_until_ready(metrics.energy_re)
+        dt = (time.perf_counter() - t0) / chunk
+        e_re = np.asarray(metrics.energy_re)
+        e_im = np.asarray(metrics.energy_im)
+        e_var = np.asarray(metrics.energy_var)
+        acc = np.asarray(metrics.accept_rate)
+        gn = np.asarray(metrics.grad_norm)
+        sri = np.asarray(metrics.sr_iters)
+        for j in range(chunk):
+            step_no = it + j + 1
+            if step_no % cfg.run.log_every == 0 or step_no == cfg.run.n_steps:
+                row = {
+                    "energy_re": float(e_re[j]),
+                    "energy_im": float(e_im[j]),
+                    "energy_var": float(e_var[j]),
+                    "e_per_site": float(e_re[j]) / n_sites,
+                    "accept": float(acc[j]),
+                    "grad_norm": float(gn[j]),
+                    "sr_iters": int(sri[j]),
+                    "sweeps_per_sec": sweeps_per_step * m / max(dt, 1e-9),
+                }
+                if e_exact is not None:
+                    row["rel_err"] = abs(row["energy_re"] - e_exact) / abs(
+                        e_exact)
+                logger.log(step_no, row)
+        it += chunk
         if (ckpt_manager is not None
-                and (it + 1) % cfg.run.ckpt_every == 0):
-            ckpt_manager.save(it + 1, state)
+                and (it // cfg.run.ckpt_every)
+                > ((it - chunk) // cfg.run.ckpt_every)):
+            ckpt_manager.save(it, state)
 
     if ckpt_manager is not None:
         ckpt_manager.save(cfg.run.n_steps, state)

@@ -155,3 +155,20 @@ class VMC:
         walkers = self.sampler.sample(state.params, walkers, key, walker_ids,
                                       n_sweeps=n_sweeps)
         return state._replace(walkers=walkers)
+
+    def run_steps(self, state: TrainState, base_key: Array,
+                  walker_ids: Array, n_steps: int):
+        """n_steps training steps in ONE compiled program (lax.scan).
+
+        Amortizes the host-dispatch round trip (the axon TPU tunnel costs
+        ~30 ms per call) and keeps the device busy; the per-step key is
+        derived on device as fold_in(base_key, state.step), so chunking
+        (e.g. 100 = 4x25) does not change the random streams and resume
+        stays reproducible. Returns (state, metrics stacked over steps).
+        """
+
+        def body(st, _):
+            key = jax.random.fold_in(base_key, st.step)
+            return self.step(st, key, walker_ids)
+
+        return jax.lax.scan(body, state, None, length=n_steps)

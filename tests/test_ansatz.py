@@ -25,7 +25,7 @@ def test_complex_conv_matches_direct_complex():
     zr = jax.random.normal(kr, (2, 6, 6, 3))
     zi = jax.random.normal(ki, (2, 6, 6, 3))
     z = C(zr, zi)
-    conv = ComplexConv(features=4, kernel_size=(3, 3))
+    conv = ComplexConv(features=4, kernel_size=(3, 3), lattice_shape=(6, 6))
     v = conv.init(jax.random.key(2), z)
     got = conv.apply(v, z).to_numpy()
     w = (np.asarray(v["params"]["kernel_re"], np.complex128)
@@ -154,3 +154,40 @@ def test_output_shapes_and_dtypes():
         assert isinstance(out, C)
         assert out.re.shape == (7,) and out.im.shape == (7,)
         assert out.re.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("shape,ksz", [((8,), 3), ((4, 4), 3), ((6, 4), (3, 3)), ((10,), 5)])
+@pytest.mark.parametrize("complex_params", [False, True])
+def test_conv_impls_agree(shape, ksz, complex_params):
+    """'roll' and 'circulant' matmul paths == 'direct' lax.conv, for values
+    AND gradients (they are the TPU hot path; 'direct' is the reference)."""
+    n = int(np.prod(shape))
+    s = rand_spins(jax.random.key(0), 4, n)
+    base = LogPsiCNN(lattice_shape=shape, channels=(3, 4), kernel_size=ksz,
+                     complex_params=complex_params, conv_impl="direct")
+    v = base.init(jax.random.key(1), s)
+
+    def loss(model, params):
+        out = model.apply(params, s)
+        return (out.re.sum() + 0.3 * out.im.sum())
+
+    want_out = base.apply(v, s)
+    want_grad = jax.grad(lambda p: loss(base, p))(v)
+    for impl in ["roll", "circulant"]:
+        model = LogPsiCNN(lattice_shape=shape, channels=(3, 4),
+                          kernel_size=ksz, complex_params=complex_params,
+                          conv_impl=impl)
+        got_out = model.apply(v, s)
+        np.testing.assert_allclose(np.asarray(got_out.re),
+                                   np.asarray(want_out.re), rtol=2e-4,
+                                   atol=1e-5, err_msg=impl)
+        np.testing.assert_allclose(np.asarray(got_out.im),
+                                   np.asarray(want_out.im), rtol=2e-4,
+                                   atol=1e-5, err_msg=impl)
+        got_grad = jax.grad(lambda p: loss(model, p))(v)
+        jax.tree_util.tree_map(
+            lambda ga, gb: np.testing.assert_allclose(
+                np.asarray(ga), np.asarray(gb), rtol=5e-4, atol=2e-5,
+                err_msg=impl),
+            got_grad, want_grad,
+        )

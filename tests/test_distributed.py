@@ -138,3 +138,26 @@ def test_mesh_validation():
     with pytest.raises(ValueError):
         vmc_bad, _ = build(axis_name=None)
         make_sharded_vmc(vmc_bad, mesh, state)
+
+def test_run_steps_matches_stepwise(eight_devices):
+    """K fused steps (one dispatch) == K individual step() calls."""
+    mesh = walker_mesh(8)
+    vmc8, params = build(axis_name="dp")
+    tmpl = build(axis_name=None)[0].init_state(jax.random.key(1), M, params)
+    sharded = make_sharded_vmc(vmc8, mesh, tmpl)
+
+    base_key = jax.random.key(9)
+    s0 = sharded.init_state(jax.random.key(1), M, params)
+    fused, ms = sharded.run_steps(s0, base_key, 4)
+    assert ms.energy_re.shape == (4,)
+
+    loop = sharded.init_state(jax.random.key(1), M, params)
+    singles = []
+    for _ in range(4):
+        key = jax.random.fold_in(base_key, loop.step)
+        loop, m = sharded.step(loop, key)
+        singles.append(float(m.energy_re))
+    np.testing.assert_allclose(flat(fused.params), flat(loop.params),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ms.energy_re), singles, rtol=1e-5)
+    assert int(fused.step) == 4
