@@ -89,6 +89,21 @@ def resolve_move(cfg: Config) -> str:
     return "flip" if cfg.hamiltonian.kind == "tfim" else "exchange"
 
 
+def resolve_sampler_backend(cfg: Config) -> str:
+    """'pallas' needs the real (non-complex, non-averaged) CNN whose
+    circulant form the kernel implements; 'auto' currently defaults to the
+    XLA sweep everywhere (flip to pallas per-config once it wins on real
+    hardware) and falls back to 'xla' where pallas is unsupported."""
+    b = cfg.sampler.backend
+    pallas_ok = not cfg.model.complex_params and not cfg.model.translation_average
+    if b == "auto":
+        return "xla"
+    if b == "pallas" and not pallas_ok:
+        raise ValueError("sampler backend 'pallas' supports only real, "
+                         "non-translation-averaged CNN models")
+    return b
+
+
 def build(cfg: Config, axis_name: Optional[str] = None
           ) -> Tuple[VMC, dict, Lattice]:
     """Returns (vmc, initial params, lattice)."""
@@ -110,6 +125,9 @@ def build(cfg: Config, axis_name: Optional[str] = None
         move=move,
         bonds=lattice.nn_bonds if move == "exchange" else None,
         sweep_size=cfg.sampler.sweep_size,
+        backend=resolve_sampler_backend(cfg),
+        lattice_shape=tuple(lattice.shape),
+        pallas_block=cfg.sampler.pallas_block,
     )
     vmc = VMC(
         log_psi_fn=log_psi_fn,

@@ -53,6 +53,10 @@ class SamplerConfig:
     n_sweeps_per_step: int = 1
     n_therm_sweeps: int = 50
     sweep_size: Optional[int] = None  # proposals per sweep; default n_sites
+    #: sweep engine: auto | xla | pallas (fused VMEM-resident kernel; real
+    #: circulant-form CNNs only — auto falls back to xla otherwise)
+    backend: str = "auto"
+    pallas_block: int = 256
 
 
 @dataclass(frozen=True)

@@ -107,12 +107,22 @@ class MetropolisSampler:
     move: str = "flip"
     bonds: Optional[np.ndarray] = None
     sweep_size: Optional[int] = None
+    #: 'xla' (lax.scan sweep, works for every model) or 'pallas' (fused
+    #: VMEM-resident sweep kernel, real circulant-form CNNs only; makes
+    #: identical Metropolis decisions — see kernels/metropolis_pallas.py).
+    backend: str = "xla"
+    lattice_shape: Optional[tuple] = None  # required for backend='pallas'
+    pallas_block: int = 256
 
     def __post_init__(self):
         if self.move not in ("flip", "exchange"):
             raise ValueError(f"unknown move {self.move!r}")
         if self.move == "exchange" and self.bonds is None:
             raise ValueError("exchange move requires bonds")
+        if self.backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+        if self.backend == "pallas" and self.lattice_shape is None:
+            raise ValueError("backend='pallas' requires lattice_shape")
 
     @property
     def _sweep_size(self) -> int:
@@ -176,6 +186,9 @@ class MetropolisSampler:
         results are independent of device sharding.
         """
         n_props = n_sweeps * self._sweep_size
+        if self.backend == "pallas":
+            return self._sample_pallas(params, state, step_key, walker_ids,
+                                       n_props)
 
         def step(carry, t):
             st = carry
@@ -185,6 +198,27 @@ class MetropolisSampler:
 
         state, _ = jax.lax.scan(step, state, jnp.arange(n_props))
         return state
+
+    def _sample_pallas(self, params, state: WalkerState, step_key: Array,
+                       walker_ids: Array, n_props: int) -> WalkerState:
+        from qmcnn_tpu.kernels.metropolis_pallas import pallas_sweep
+
+        interpret = jax.default_backend() != "tpu"
+        m = state.s.shape[0]
+        block = min(self.pallas_block, m)
+        s_out, lp_out, acc = pallas_sweep(
+            params, state.s, state.log_psi.re,
+            step_key=step_key, walker_ids=walker_ids,
+            lattice_shape=tuple(self.lattice_shape), n_props=n_props,
+            move=self.move, bonds=self.bonds, block=block,
+            interpret=interpret,
+        )
+        return WalkerState(
+            s=s_out,
+            log_psi=C(lp_out, jnp.zeros_like(lp_out)),
+            n_accept=state.n_accept + acc.astype(jnp.int32),
+            n_prop=state.n_prop + n_props,
+        )
 
     @staticmethod
     def acceptance_rate(state: WalkerState) -> Array:

@@ -129,3 +129,52 @@ def test_validation_errors():
     cv = cmodel.init(jax.random.key(0), jnp.ones((1, N), jnp.float32))
     with pytest.raises(ValueError):
         prepare_circulant_params(cv, (N,))
+
+
+def test_sampler_backend_pallas_matches_xla():
+    """MetropolisSampler(backend='pallas') == backend='xla' end to end."""
+    model, v = make_model((N,))
+
+    def log_psi_fn(p, s):
+        return log_psi_apply(model, p, s)
+
+    common = dict(n_sites=N, move="flip", lattice_shape=(N,),
+                  pallas_block=16)
+    xla = MetropolisSampler(log_psi_fn, backend="xla", **common)
+    pls = MetropolisSampler(log_psi_fn, backend="pallas", **common)
+    state = xla.init_state(v, jax.random.key(1), 32)
+    ids = jnp.arange(32)
+    key = jax.random.key(8)
+    a = xla.sample(v, state, key, ids, n_sweeps=2)
+    b = pls.sample(v, state, key, ids, n_sweeps=2)
+    np.testing.assert_array_equal(np.asarray(a.s), np.asarray(b.s))
+    np.testing.assert_array_equal(np.asarray(a.n_accept),
+                                  np.asarray(b.n_accept))
+    assert int(b.n_prop[0]) == 2 * N
+
+
+def test_pallas_backend_trains_tfim():
+    """Few VMC steps with the pallas sampler backend: finite and improving."""
+    import optax
+    from qmcnn_tpu.ops.hamiltonians import TFIM
+    from qmcnn_tpu.vmc import VMC
+
+    lat = chain(N)
+    model, v = make_model((N,), channels=(4,), scale=0.05)
+
+    def log_psi_fn(p, s):
+        return log_psi_apply(model, p, s)
+
+    sampler = MetropolisSampler(log_psi_fn, n_sites=N, move="flip",
+                                backend="pallas", lattice_shape=(N,),
+                                pallas_block=32)
+    vmc = VMC(log_psi_fn=log_psi_fn, ham=TFIM(lat, h=1.0), sampler=sampler,
+              optimizer=optax.sgd(0.05), n_sweeps=1)
+    state = vmc.init_state(jax.random.key(1), 64, v)
+    ids = jnp.arange(64)
+    es = []
+    for it in range(10):
+        state, m = vmc.step(state, jax.random.fold_in(jax.random.key(2), it),
+                            ids)
+        es.append(float(m.energy_re))
+    assert np.all(np.isfinite(es))
