@@ -70,7 +70,7 @@ class OptimizerConfig:
 @dataclass(frozen=True)
 class SRConfig:
     enabled: bool = False
-    solver: str = "pcg"  # pcg | cg | dense
+    solver: str = "pcg"  # pcg | cg | dense | minsr (sample-space, P>>M)
     diag_shift0: float = 1.0
     diag_shift_decay: float = 0.95
     diag_shift_min: float = 1e-2

@@ -23,6 +23,17 @@ only P-sized vectors, never samples):
   * ``solver='dense'`` — builds S densely ([P, P] via one matmul) and solves
     by Cholesky. Exact and cheapest for small nets (P up to a few thousand);
     also the test oracle for the iterative paths.
+  * ``solver='minsr'`` — the sample-space (minSR) formulation for P >> M:
+    with the stacked real score matrix O~ = [O_re; O_im] [2M, P] (centered)
+    the push-through identity
+        (O~^T O~ / M + lambda)^-1 O~^T eps / M
+          = O~^T (O~ O~^T / M + lambda)^-1 eps / M
+    turns the P x P solve into a 2M x 2M Cholesky — exact (it is the same
+    delta as 'dense'/'pcg', tested), and scales SR to arbitrarily large
+    networks. [Technique: Rende, Viteritti, Bardone, Becca & Goldt,
+    arXiv:2310.05715 — "A simple linear algebra identity to optimize
+    large-scale neural network quantum states".] Single-mesh-axis only in
+    this version (the Gram matrix mixes samples across shards).
 
 Diagonal shift schedule (Carleo & Troyer style):
   lambda(p) = max(lambda0 * b^p, lambda_min).
@@ -317,9 +328,23 @@ class SR:
         grads,
         step: Array,
         axis_name: Optional[str] = None,
+        e_loc=None,
     ) -> Tuple[Any, Array, Array]:
-        """Returns (natural_gradient pytree, iters, residual)."""
+        """Returns (natural_gradient pytree, iters, residual).
+
+        ``e_loc`` (a C pair of local energies) is required by the 'minsr'
+        solver, which works in sample space and needs the raw residuals
+        rather than the already-contracted gradient.
+        """
         shift = self.diag_shift(step)
+        if self.solver == "minsr":
+            if axis_name is not None:
+                raise ValueError(
+                    "solver='minsr' is single-mesh-axis only (the Gram "
+                    "matrix mixes samples across shards); use 'pcg'"
+                )
+            if e_loc is None:
+                raise ValueError("solver='minsr' needs e_loc")
         if self.solver == "cg":
             matvec = make_s_matvec(log_psi_fn, params, s, shift,
                                    axis_name=axis_name)
@@ -328,6 +353,25 @@ class SR:
 
         op = make_jacobian_s(log_psi_fn, params, s, axis_name=axis_name,
                              chunk_size=self.jacobian_chunk)
+
+        if self.solver == "minsr":
+            if self.proportional_shift:
+                shift = shift * jnp.maximum(op.diag_s.mean(), 1e-12)
+            m = op.m_local
+            o_st = jnp.concatenate([op.oc_re, op.oc_im], axis=0)  # [2M, P]
+            eps = jnp.concatenate([
+                e_loc.re - e_loc.re.mean(), e_loc.im - e_loc.im.mean()
+            ])
+            gram = (o_st @ o_st.T) / m + shift * jnp.eye(2 * m)
+            y = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(gram), eps)
+            delta = (y @ o_st) / m  # [P]
+            # report the parameter-space residual ||(S+shift)d - F|| / ||F||
+            b, unravel = jax.flatten_util.ravel_pytree(grads)
+            s_delta = (o_st.T @ (o_st @ delta)) / m + shift * delta
+            resid = jnp.linalg.norm(s_delta - b) / jnp.maximum(
+                jnp.linalg.norm(b), 1e-30)
+            return unravel(delta), jnp.zeros((), jnp.int32), resid
         if self.proportional_shift:
             shift = shift * jnp.maximum(op.diag_s.mean(), 1e-12)
         b, unravel = jax.flatten_util.ravel_pytree(grads)

@@ -132,7 +132,7 @@ class VMC:
         if self.sr is not None:
             grads, sr_iters, sr_residual = self.sr.solve(
                 self.log_psi_fn, params, walkers.s, grads, state.step,
-                axis_name=self.axis_name,
+                axis_name=self.axis_name, e_loc=e_loc,
             )
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    params)

@@ -152,3 +152,56 @@ def test_proportional_shift_runs():
     delta, iters, res = sr.solve(log_psi_fn, v, s, grads, jnp.asarray(0))
     d, _ = jax.flatten_util.ravel_pytree(delta)
     assert np.all(np.isfinite(np.asarray(d)))
+
+
+def test_minsr_equals_dense_solution():
+    """The sample-space (minSR) solve must equal the P-space solve exactly
+    (push-through identity) — using the true F = O~^T eps / M built from
+    e_loc residuals."""
+    from qmcnn_tpu.ops.cplx import C
+
+    v, log_psi_fn, s = setup()
+    s_dense, unravel, flat = dense_s(log_psi_fn, v, s)
+    rng = np.random.default_rng(7)
+    de_re = rng.normal(size=M).astype(np.float32)
+    de_im = rng.normal(size=M).astype(np.float32)
+    de_re -= de_re.mean()
+    de_im -= de_im.mean()
+    e_loc = C(jnp.asarray(de_re), jnp.asarray(de_im))
+
+    # dense O for the exact F
+    flatp, unravel2 = jax.flatten_util.ravel_pytree(v)
+
+    def f_re(fp, si):
+        return log_psi_fn(unravel2(fp), si[None, :]).re[0]
+
+    def f_im(fp, si):
+        return log_psi_fn(unravel2(fp), si[None, :]).im[0]
+
+    j_re = np.asarray(jax.vmap(jax.grad(f_re), (None, 0))(flatp, s))
+    j_im = np.asarray(jax.vmap(jax.grad(f_im), (None, 0))(flatp, s))
+    f_vec = (j_re.T @ de_re + j_im.T @ de_im) / M
+    grads = unravel(jnp.asarray(f_vec.astype(np.float32)))
+
+    shift = 0.1
+    want = np.linalg.solve(s_dense + shift * np.eye(flat.size), f_vec)
+    sr = SR(solver="minsr", diag_shift0=shift, diag_shift_decay=1.0,
+            diag_shift_min=shift)
+    delta, iters, resid = jax.jit(
+        lambda p, s_, g, st, e: sr.solve(log_psi_fn, p, s_, g, st, e_loc=e)
+    )(v, s, grads, jnp.asarray(0), e_loc)
+    d, _ = jax.flatten_util.ravel_pytree(delta)
+    np.testing.assert_allclose(np.asarray(d), want, rtol=5e-3, atol=1e-5)
+    assert float(resid) < 1e-3
+
+
+def test_minsr_rejects_sharded_and_missing_eloc():
+    import pytest as _pytest
+
+    v, log_psi_fn, s = setup()
+    grads = jax.tree_util.tree_map(lambda x: 0.01 * jnp.ones_like(x), v)
+    sr = SR(solver="minsr")
+    with _pytest.raises(ValueError):
+        sr.solve(log_psi_fn, v, s, grads, jnp.asarray(0), axis_name="dp")
+    with _pytest.raises(ValueError):
+        sr.solve(log_psi_fn, v, s, grads, jnp.asarray(0))
