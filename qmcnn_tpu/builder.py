@@ -54,12 +54,32 @@ def build_model(cfg: Config, lattice: Lattice):
     return inner
 
 
+def build_lr_schedule(cfg: Config):
+    o = cfg.optimizer
+    decay = o.decay_steps or cfg.run.n_steps
+    if o.schedule == "constant":
+        lr = o.lr
+    elif o.schedule == "cosine":
+        lr = optax.cosine_decay_schedule(o.lr, decay,
+                                         alpha=o.lr_min_ratio)
+    elif o.schedule == "warmup_cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, o.lr, max(o.warmup_steps, 1), decay,
+            end_value=o.lr * o.lr_min_ratio)
+    elif o.schedule == "linear":
+        lr = optax.linear_schedule(o.lr, o.lr * o.lr_min_ratio, decay)
+    else:
+        raise ValueError(f"unknown lr schedule {o.schedule!r}")
+    return lr
+
+
 def build_optimizer(cfg: Config) -> optax.GradientTransformation:
     o = cfg.optimizer
+    lr = build_lr_schedule(cfg)
     if o.kind == "sgd":
-        base = optax.sgd(o.lr, momentum=o.momentum)
+        base = optax.sgd(lr, momentum=o.momentum)
     elif o.kind == "adam":
-        base = optax.adam(o.lr)
+        base = optax.adam(lr)
     else:
         raise ValueError(f"unknown optimizer kind {o.kind!r}")
     if o.clip_norm is not None:

@@ -65,6 +65,12 @@ class OptimizerConfig:
     lr: float = 0.02
     clip_norm: Optional[float] = 1.0
     momentum: Optional[float] = None
+    #: learning-rate schedule: constant | cosine | warmup_cosine | linear
+    schedule: str = "constant"
+    warmup_steps: int = 0
+    #: total decay horizon for cosine/linear (defaults to run.n_steps)
+    decay_steps: Optional[int] = None
+    lr_min_ratio: float = 0.1
 
 
 @dataclass(frozen=True)

@@ -103,3 +103,43 @@ run: {{n_steps: 4, log_every: 2, ckpt_every: 2}}
     assert int(state2.step) == 6
     ck.close()
     ck2.close()
+
+
+def test_lr_schedules_build_and_run():
+    from qmcnn_tpu.builder import build_lr_schedule
+
+    for sched in ["constant", "cosine", "warmup_cosine", "linear"]:
+        cfg = cfglib.apply_overrides(
+            cfglib.Config(),
+            [f"optimizer.schedule={sched}", "optimizer.warmup_steps=5",
+             "run.n_steps=100"],
+        )
+        lr = build_lr_schedule(cfg)
+        val = lr(50) if callable(lr) else lr
+        assert float(val) > 0
+        vmc, params, lattice = build(cfg)  # full optimizer builds
+    with pytest.raises(ValueError):
+        build(cfglib.apply_overrides(cfglib.Config(),
+                                     ["optimizer.schedule=bogus"]))
+
+
+def test_debug_nans_compatible():
+    """A train step runs under jax_debug_nans (SURVEY section 5 sanitizers)."""
+    import jax
+
+    cfg = cfglib.from_yaml("""
+name: nan_check
+lattice: {shape: [6]}
+model: {channels: [3]}
+hamiltonian: {kind: tfim}
+sampler: {n_walkers: 16, move: flip, n_therm_sweeps: 1}
+""")
+    vmc, params, lattice = build(cfg)
+    state = vmc.init_state(jax.random.key(0), 16, params)
+    jax.config.update("jax_debug_nans", True)
+    try:
+        state, m = jax.jit(vmc.step)(state, jax.random.key(1),
+                                     jnp.arange(16))
+        assert np.isfinite(float(m.energy_re))
+    finally:
+        jax.config.update("jax_debug_nans", False)
