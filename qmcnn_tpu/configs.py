@@ -95,6 +95,7 @@ class RunConfig:
     steps_per_dispatch: int = 10
     log_every: int = 10
     csv_path: Optional[str] = None
+    tensorboard_dir: Optional[str] = None
     ckpt_dir: Optional[str] = None
     ckpt_every: int = 200
     ckpt_keep: int = 3

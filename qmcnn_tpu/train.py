@@ -50,7 +50,8 @@ def train(cfg, ckpt_manager=None, logger=None):
     n_sites = lattice.n_sites
     m = cfg.sampler.n_walkers
     logger = logger or MetricsLogger(csv_path=cfg.run.csv_path,
-                                     print_every=cfg.run.log_every)
+                                     print_every=cfg.run.log_every,
+                                     tensorboard_dir=cfg.run.tensorboard_dir)
 
     key = jax.random.key(cfg.run.seed + 100)
     state = sharded.init_state(jax.random.fold_in(key, 0), m, params)

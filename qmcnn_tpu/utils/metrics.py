@@ -47,10 +47,13 @@ def integrated_autocorr_time(series: np.ndarray) -> float:
 
 
 class MetricsLogger:
-    """Streams per-step metric dicts to stdout and an optional CSV file."""
+    """Streams per-step metric dicts to stdout, CSV, and (optionally)
+    TensorBoard (guarded import — tensorflow is present in this image but
+    the dependency stays optional)."""
 
     def __init__(self, csv_path: Optional[str] = None,
-                 print_every: int = 10, stream=None):
+                 print_every: int = 10, stream=None,
+                 tensorboard_dir: Optional[str] = None):
         self.csv_path = csv_path
         self.print_every = print_every
         self.stream = stream or sys.stdout
@@ -59,6 +62,14 @@ class MetricsLogger:
         self._fields = None
         self._t0 = time.perf_counter()
         self.history: Dict[str, list] = {}
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                import tensorflow as tf  # noqa: PLC0415
+
+                self._tb = tf.summary.create_file_writer(tensorboard_dir)
+            except Exception as e:  # pragma: no cover - optional dep
+                print(f"# tensorboard unavailable: {e}", file=self.stream)
 
     def log(self, step: int, metrics: Dict[str, float]):
         row = {"step": step,
@@ -77,6 +88,13 @@ class MetricsLogger:
                 self._writer.writeheader()
             self._writer.writerow({k: row.get(k) for k in self._fields})
             self._file.flush()
+        if self._tb is not None:
+            import tensorflow as tf  # noqa: PLC0415
+
+            with self._tb.as_default():
+                for k, v in row.items():
+                    if k != "step":
+                        tf.summary.scalar(k, v, step=step)
         if step % self.print_every == 0:
             parts = " ".join(
                 f"{k}={v:+.5f}" if isinstance(v, float) else f"{k}={v}"

@@ -1,0 +1,49 @@
+"""Metrics utilities: binning analysis must inflate errors for correlated
+series, and the logger round-trips CSV."""
+import numpy as np
+
+from qmcnn_tpu.utils.metrics import (
+    MetricsLogger, binned_stderr, integrated_autocorr_time,
+)
+
+
+def ar1(n, rho, rng):
+    x = np.zeros(n)
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + rng.normal()
+    return x
+
+
+def test_binned_stderr_iid_matches_naive():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=4096)
+    naive = x.std(ddof=1) / np.sqrt(x.size)
+    assert binned_stderr(x) < 1.6 * naive
+    assert integrated_autocorr_time(x) < 2.5
+
+
+def test_binned_stderr_correlated_inflates():
+    rng = np.random.default_rng(1)
+    x = ar1(8192, 0.95, rng)
+    naive = x.std(ddof=1) / np.sqrt(x.size)
+    # true tau_int for AR(1) rho=.95 is (1+rho)/(1-rho) = 39
+    assert binned_stderr(x) > 3 * naive
+    assert integrated_autocorr_time(x) > 5
+
+
+def test_binned_stderr_edge_cases():
+    assert np.isnan(binned_stderr(np.array([1.0])))
+    assert integrated_autocorr_time(np.ones(100)) == 1.0
+
+
+def test_logger_csv_and_tail(tmp_path):
+    path = str(tmp_path / "m.csv")
+    lg = MetricsLogger(csv_path=path, print_every=100)
+    for i in range(20):
+        lg.log(i, {"energy_re": -1.0 - 0.01 * i, "acc": 0.5})
+    mean, err = lg.tail_energy(frac=0.5)
+    assert -1.2 < mean < -1.0
+    lg.close()
+    import csv
+    rows = list(csv.DictReader(open(path)))
+    assert len(rows) == 20 and "energy_re" in rows[0]
