@@ -337,14 +337,8 @@ class SR:
         rather than the already-contracted gradient.
         """
         shift = self.diag_shift(step)
-        if self.solver == "minsr":
-            if axis_name is not None:
-                raise ValueError(
-                    "solver='minsr' is single-mesh-axis only (the Gram "
-                    "matrix mixes samples across shards); use 'pcg'"
-                )
-            if e_loc is None:
-                raise ValueError("solver='minsr' needs e_loc")
+        if self.solver == "minsr" and e_loc is None:
+            raise ValueError("solver='minsr' needs e_loc")
         if self.solver == "cg":
             matvec = make_s_matvec(log_psi_fn, params, s, shift,
                                    axis_name=axis_name)
@@ -357,18 +351,37 @@ class SR:
         if self.solver == "minsr":
             if self.proportional_shift:
                 shift = shift * jnp.maximum(op.diag_s.mean(), 1e-12)
-            m = op.m_local
-            o_st = jnp.concatenate([op.oc_re, op.oc_im], axis=0)  # [2M, P]
-            eps = jnp.concatenate([
-                e_loc.re - e_loc.re.mean(), e_loc.im - e_loc.im.mean()
+            o_local = jnp.concatenate([op.oc_re, op.oc_im], axis=0)
+            eps_local = jnp.concatenate([
+                e_loc.re - _pmean(e_loc.re.mean(), axis_name),
+                e_loc.im - _pmean(e_loc.im.mean(), axis_name),
             ])
-            gram = (o_st @ o_st.T) / m + shift * jnp.eye(2 * m)
+            if axis_name is None:
+                o_full, eps = o_local, eps_local
+                m_total = op.m_local
+            else:
+                # distributed minSR: gather the score rows over the mesh
+                # (2M*P floats over ICI), split the Gram compute by columns,
+                # psum the final P-sized contraction.
+                o_full = jax.lax.all_gather(o_local, axis_name, axis=0,
+                                            tiled=True)   # [2M_tot, P]
+                eps = jax.lax.all_gather(eps_local, axis_name, axis=0,
+                                         tiled=True)      # [2M_tot]
+                m_total = op.m_local * jax.lax.axis_size(axis_name)
+            two_m = o_full.shape[0]
+            if axis_name is None:
+                gram = (o_full @ o_full.T) / m_total
+            else:
+                cols = (o_full @ o_local.T) / m_total  # [2M_tot, 2M_loc]
+                gram = jax.lax.all_gather(
+                    cols, axis_name, axis=1, tiled=True)
+            gram = gram + shift * jnp.eye(two_m)
             y = jax.scipy.linalg.cho_solve(
                 jax.scipy.linalg.cho_factor(gram), eps)
-            delta = (y @ o_st) / m  # [P]
+            delta = (y @ o_full) / m_total  # [P]
             # report the parameter-space residual ||(S+shift)d - F|| / ||F||
             b, unravel = jax.flatten_util.ravel_pytree(grads)
-            s_delta = (o_st.T @ (o_st @ delta)) / m + shift * delta
+            s_delta = (o_full.T @ (o_full @ delta)) / m_total + shift * delta
             resid = jnp.linalg.norm(s_delta - b) / jnp.maximum(
                 jnp.linalg.norm(b), 1e-30)
             return unravel(delta), jnp.zeros((), jnp.int32), resid

@@ -195,13 +195,51 @@ def test_minsr_equals_dense_solution():
     assert float(resid) < 1e-3
 
 
-def test_minsr_rejects_sharded_and_missing_eloc():
+def test_minsr_requires_eloc():
     import pytest as _pytest
 
     v, log_psi_fn, s = setup()
     grads = jax.tree_util.tree_map(lambda x: 0.01 * jnp.ones_like(x), v)
     sr = SR(solver="minsr")
     with _pytest.raises(ValueError):
-        sr.solve(log_psi_fn, v, s, grads, jnp.asarray(0), axis_name="dp")
-    with _pytest.raises(ValueError):
         sr.solve(log_psi_fn, v, s, grads, jnp.asarray(0))
+
+
+def test_minsr_distributed_matches_single_device():
+    """all-gather minSR over 8 shards == single-device minSR."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from qmcnn_tpu.ops.cplx import C
+    from qmcnn_tpu.parallel.mesh import walker_mesh
+
+    v, log_psi_fn, s = setup()
+    rng = np.random.default_rng(9)
+    de_re = rng.normal(size=M).astype(np.float32)
+    de_im = rng.normal(size=M).astype(np.float32)
+    e_loc = C(jnp.asarray(de_re), jnp.asarray(de_im))
+    grads = jax.tree_util.tree_map(
+        lambda x: 0.01 * jnp.ones_like(x), v)
+    sr = SR(solver="minsr", diag_shift0=0.1, diag_shift_decay=1.0,
+            diag_shift_min=0.1)
+    want, _, _ = sr.solve(log_psi_fn, v, s, grads, jnp.asarray(0),
+                          e_loc=e_loc)
+
+    mesh = walker_mesh(8)
+    grads_spec = jax.tree_util.tree_map(lambda _: P(), grads)
+    v_spec = jax.tree_util.tree_map(lambda _: P(), v)
+
+    def local(vv, ss, gg, ee):
+        d, it, res = sr.solve(log_psi_fn, vv, ss, gg, jnp.asarray(0),
+                              axis_name="dp", e_loc=ee)
+        return d
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(v_spec, P("dp"), grads_spec, C(P("dp"), P("dp"))),
+        out_specs=grads_spec, check_vma=False,
+    )
+    got = jax.jit(f)(v, s, grads, e_loc)
+    wflat, _ = jax.flatten_util.ravel_pytree(want)
+    gflat, _ = jax.flatten_util.ravel_pytree(got)
+    np.testing.assert_allclose(np.asarray(gflat), np.asarray(wflat),
+                               rtol=5e-3, atol=1e-6)
