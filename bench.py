@@ -58,22 +58,30 @@ def build_sweep_fn():
     key = jax.random.key(0)
     state = sampler.init_state(params, key, N_WALKERS)
     ids = jnp.arange(N_WALKERS)
+    n_props_per_sweep = lattice.n_sites
 
-    @functools.partial(jax.jit, static_argnums=2)
-    def run(state, key, n_sweeps):
-        out = sampler.sample(params, state, key, ids, n_sweeps=n_sweeps)
-        # scalar result only; depends on the full walker state
+    # ONE executable with a *dynamic* proposal count: remote compiles cost
+    # minutes on this backend, so both timing points must share a compile.
+    @jax.jit
+    def run(state, key, n_props):
+        def body(t, st):
+            k_t = jax.random.fold_in(key, t)
+            keys = jax.vmap(lambda w: jax.random.fold_in(k_t, w))(ids)
+            return sampler._proposal_step(params, st, keys)
+
+        out = jax.lax.fori_loop(0, n_props, body, state)
         return out.s.sum() + out.log_psi.re.sum()
 
-    return run, state, key
+    return run, state, key, n_props_per_sweep
 
 
 def measure_rate() -> float:
-    """Sweeps/sec via scan-length differencing (dispatch cost cancelled)."""
-    run, state, key = build_sweep_fn()
+    """Sweeps/sec via length differencing (dispatch cost cancelled)."""
+    run, state, key, props_per_sweep = build_sweep_fn()
 
-    def timed(n, reps=3):
-        float(run(state, key, n))  # compile + warm
+    def timed(n_sweeps, reps=3):
+        n = n_sweeps * props_per_sweep
+        float(run(state, key, n))  # compile (first call) + warm
         t0 = time.perf_counter()
         for _ in range(reps):
             float(run(state, key, n))
