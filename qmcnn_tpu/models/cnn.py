@@ -138,14 +138,15 @@ def _conv_circulant(x: Array, w: Array, lattice_shape: Tuple[int, ...]
 
 
 def resolve_conv_impl(impl: str, lattice_shape: Tuple[int, ...]) -> str:
-    """'auto': circulant on TPU for small lattices (best MXU shape), roll on
-    TPU otherwise, direct conv on CPU/GPU (their conv emitters are fine)."""
+    """'auto' -> 'direct' everywhere. Measured on a real v5e (batch 1024,
+    10x10, C=16^3, marginal cost per forward with dispatch overhead
+    cancelled): direct 43us / circulant 50us / roll 97us for the real net,
+    and direct 233us / roll 343us / circulant 359us for the complex net —
+    XLA's TPU conv emitter wins at VMC shapes. 'circulant' stays as the
+    form the fused Pallas sweep kernel consumes; 'roll' as a fallback."""
     if impl != "auto":
         return impl
-    if jax.default_backend() == "cpu":
-        return "direct"
-    n = int(np.prod(lattice_shape))
-    return "circulant" if n <= 256 else "roll"
+    return "direct"
 
 
 def apply_conv(x: Array, w: Array, lattice_shape: Tuple[int, ...],
