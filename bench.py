@@ -127,6 +127,8 @@ def cpu_baseline_rate() -> float:
 
 
 def main():
+    from qmcnn_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--cpu-baseline", action="store_true",
                    help="measure on CPU and print CPU_RATE (internal)")

@@ -117,6 +117,8 @@ def train(cfg, ckpt_manager=None, logger=None):
 
 
 def main(argv=None):
+    from qmcnn_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True, help="YAML config path")
     p.add_argument("--override", action="append", default=[],

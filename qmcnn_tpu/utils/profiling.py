@@ -16,6 +16,7 @@ The reference had timing prints; the TPU-native equivalents:
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Callable
 
@@ -64,3 +65,16 @@ def scan_rate(make_scan: Callable[[int], Callable], n_short: int,
     t_long = timeit(make_scan(n_long))
     dt = max((t_long - t_short) / (n_long - n_short), 1e-12)
     return 1.0 / dt
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: compiles on this tunneled backend
+    cost minutes, so cache executables across processes/runs."""
+    import jax
+
+    cache_dir = os.environ.get("QMCNN_COMPILE_CACHE",
+                               os.path.expanduser("~/.qmcnn_jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
