@@ -16,7 +16,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
+
 
 from qmcnn_tpu.ops import cplx
 from qmcnn_tpu.ops.cplx import C

@@ -29,7 +29,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from qmcnn_tpu.ops.cplx import C
-from qmcnn_tpu.sampler.metropolis import MetropolisSampler, WalkerState
+from qmcnn_tpu.sampler.metropolis import WalkerState
 from qmcnn_tpu.vmc import StepMetrics, TrainState, VMC
 
 AXIS = "dp"

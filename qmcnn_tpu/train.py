@@ -15,12 +15,12 @@ import time
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 
 from qmcnn_tpu import configs as cfglib
-from qmcnn_tpu.builder import build_hamiltonian, build_lattice, build_sharded
-from qmcnn_tpu.utils.metrics import MetricsLogger, binned_stderr
+from qmcnn_tpu.builder import build_lattice, build_sharded
+from qmcnn_tpu.utils.metrics import MetricsLogger
 
 
 def exact_reference_energy(cfg) -> Optional[float]:

@@ -10,10 +10,10 @@ bit-identically on the same mesh layout; if walker state is discarded
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import numpy as np
+
 import orbax.checkpoint as ocp
 
 from qmcnn_tpu.vmc import TrainState

@@ -12,7 +12,7 @@ import csv
 import os
 import sys
 import time
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from qmcnn_tpu.ops import cplx
+
 from qmcnn_tpu.ops.cplx import C
 from qmcnn_tpu.ops.local_energy import local_energy
 from qmcnn_tpu.sampler.metropolis import MetropolisSampler, WalkerState
