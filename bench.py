@@ -54,14 +54,26 @@ def build_sweep_fn():
         sampler=cfglib.SamplerConfig(n_walkers=N_WALKERS, move="exchange"),
     )
     vmc, params, lattice = build(cfg)
-    sampler = vmc.sampler
+    sampler = vmc.sampler  # backend 'auto': pallas fused sweep on TPU
     key = jax.random.key(0)
     state = sampler.init_state(params, key, N_WALKERS)
     ids = jnp.arange(N_WALKERS)
     n_props_per_sweep = lattice.n_sites
 
-    # ONE executable with a *dynamic* proposal count: remote compiles cost
-    # minutes on this backend, so both timing points must share a compile.
+    if sampler.backend == "pallas":
+        # fused kernel path: static proposal counts (one compile per timing
+        # point, amortized by the persistent compilation cache)
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=2)
+        def run(state, key, n_props):
+            out = sampler._sample_pallas(params, state, key, ids, n_props)
+            return out.s.sum() + out.log_psi.re.sum()
+
+        return run, state, key, n_props_per_sweep
+
+    # XLA path: ONE executable with a *dynamic* proposal count (remote
+    # compiles cost minutes, so both timing points share a compile).
     @jax.jit
     def run(state, key, n_props):
         def body(t, st):

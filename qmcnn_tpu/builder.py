@@ -111,12 +111,16 @@ def resolve_move(cfg: Config) -> str:
 
 def resolve_sampler_backend(cfg: Config) -> str:
     """'pallas' needs the real (non-complex, non-averaged) CNN whose
-    circulant form the kernel implements; 'auto' currently defaults to the
-    XLA sweep everywhere (flip to pallas per-config once it wins on real
-    hardware) and falls back to 'xla' where pallas is unsupported."""
+    circulant form the kernel implements. 'auto' selects pallas on TPU for
+    compatible models — measured 32% faster than the XLA sweep on v5e
+    (171k vs 130k walker-sweeps/s, exact decision parity) — and the XLA
+    sweep everywhere else."""
     b = cfg.sampler.backend
-    pallas_ok = not cfg.model.complex_params and not cfg.model.translation_average
+    pallas_ok = (not cfg.model.complex_params
+                 and not cfg.model.translation_average)
     if b == "auto":
+        if pallas_ok and jax.default_backend() == "tpu":
+            return "pallas"
         return "xla"
     if b == "pallas" and not pallas_ok:
         raise ValueError("sampler backend 'pallas' supports only real, "
