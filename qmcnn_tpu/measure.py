@@ -1,0 +1,97 @@
+"""Measurement entry point: observables from a trained checkpoint.
+
+  python -m qmcnn_tpu.measure --config configs/heis10x10_sr.yaml \
+      --ckpt-dir /path/to/ckpts [--sweeps-between 2] [--n-samples 20]
+
+Loads the latest checkpoint, re-thermalizes briefly, then alternates
+sampling and measuring: energy (with binned error bars), magnetization,
+staggered magnetization squared, S^z-S^z correlation function and its
+structure factor (SURVEY.md R5-R7 measurement layer + ops/observables.py).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import numpy as np
+
+from qmcnn_tpu import configs as cfglib
+from qmcnn_tpu.builder import build_sharded
+from qmcnn_tpu.ops import observables
+from qmcnn_tpu.ops.local_energy import local_energy
+from qmcnn_tpu.utils.checkpoint import CheckpointManager
+from qmcnn_tpu.utils.metrics import binned_stderr
+
+
+def measure(cfg, ckpt_dir: str, n_samples: int = 20,
+            sweeps_between: int = 2, therm_sweeps: int = 20):
+    sharded, params, lattice = build_sharded(cfg)
+    vmc = sharded.vmc
+    key = jax.random.key(cfg.run.seed + 12345)
+    state = sharded.init_state(jax.random.fold_in(key, 0),
+                               cfg.sampler.n_walkers, params)
+    mgr = CheckpointManager(ckpt_dir)
+    state = mgr.restore(state)
+    print(f"restored checkpoint at step {int(state.step)}")
+    state = sharded.thermalize(state, jax.random.fold_in(key, 1),
+                               n_sweeps=therm_sweeps)
+
+    n = lattice.n_sites
+    e_trace, m_trace, mst_trace = [], [], []
+    corr_acc = np.zeros(n)
+
+    @jax.jit
+    def measure_once(state):
+        walkers = state.walkers
+        e = local_energy(vmc.log_psi_fn, state.params, vmc.ham, walkers.s,
+                         walkers.log_psi)
+        return (e.mean().re,
+                observables.magnetization(walkers.s),
+                observables.staggered_magnetization_sq(walkers.s, lattice),
+                observables.szsz_correlation(walkers.s, lattice))
+
+    for i in range(n_samples):
+        state = sharded.thermalize(state, jax.random.fold_in(key, 100 + i),
+                                   n_sweeps=sweeps_between)
+        e, m, mst, corr = measure_once(state)
+        e_trace.append(float(e))
+        m_trace.append(float(m))
+        mst_trace.append(float(mst))
+        corr_acc += np.asarray(corr)
+
+    corr = corr_acc / n_samples
+    sq = observables.structure_factor(corr, lattice)
+    report = {
+        "step": int(state.step),
+        "energy": float(np.mean(e_trace)),
+        "energy_err": binned_stderr(np.asarray(e_trace)),
+        "energy_per_site": float(np.mean(e_trace)) / n,
+        "magnetization": float(np.mean(m_trace)),
+        "staggered_m2": float(np.mean(mst_trace)),
+        "szsz_corr": corr.tolist(),
+        "structure_factor_peak": float(sq.max()),
+        "structure_factor_peak_q_index": int(sq.argmax()),
+    }
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True)
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--n-samples", type=int, default=20)
+    p.add_argument("--sweeps-between", type=int, default=2)
+    p.add_argument("--override", action="append", default=[])
+    args = p.parse_args(argv)
+    cfg = cfglib.load(args.config, tuple(args.override))
+    report = measure(cfg, args.ckpt_dir, n_samples=args.n_samples,
+                     sweeps_between=args.sweeps_between)
+    print(json.dumps({k: v for k, v in report.items() if k != "szsz_corr"},
+                     indent=2))
+    print("szsz_corr:", np.array2string(np.asarray(report["szsz_corr"]),
+                                        precision=4))
+
+
+if __name__ == "__main__":
+    main()

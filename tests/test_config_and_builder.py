@@ -143,3 +143,30 @@ sampler: {n_walkers: 16, move: flip, n_therm_sweeps: 1}
         assert np.isfinite(float(m.energy_re))
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_measure_cli_roundtrip(tmp_path):
+    """train -> checkpoint -> measure: the full user workflow."""
+    from qmcnn_tpu.measure import measure
+    from qmcnn_tpu.train import train
+    from qmcnn_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = cfglib.from_yaml(f"""
+name: measure_smoke
+lattice: {{shape: [8]}}
+model: {{channels: [4]}}
+hamiltonian: {{kind: heisenberg}}
+sampler: {{n_walkers: 64, move: exchange, n_therm_sweeps: 3}}
+optimizer: {{kind: sgd, lr: 0.05}}
+run: {{n_steps: 4, log_every: 2, ckpt_every: 2}}
+""")
+    ck = CheckpointManager(str(tmp_path / "ck"))
+    train(cfg, ckpt_manager=ck)
+    report = measure(cfg, str(tmp_path / "ck"), n_samples=3,
+                     sweeps_between=1, therm_sweeps=2)
+    assert report["step"] == 4
+    assert np.isfinite(report["energy"])
+    assert abs(report["magnetization"]) < 1e-6  # S^z=0 sector exactly
+    assert len(report["szsz_corr"]) == 8
+    np.testing.assert_allclose(report["szsz_corr"][0], 0.25, rtol=1e-5)
+    ck.close()
