@@ -119,7 +119,12 @@ def resolve_sampler_backend(cfg: Config) -> str:
     pallas_ok = (not cfg.model.complex_params
                  and not cfg.model.translation_average)
     if b == "auto":
-        if pallas_ok and jax.default_backend() == "tpu":
+        # measured on v5e: pallas wins for single-flip sweeps (+32% at
+        # M=1024 flagship shapes) but the XLA scan wins for exchange
+        # sweeps at M=2048 (135k vs 121k w-sweeps/s) — the fused kernel's
+        # per-block matmuls trade MXU occupancy for VMEM residency.
+        if (pallas_ok and jax.default_backend() == "tpu"
+                and resolve_move(cfg) == "flip"):
             return "pallas"
         return "xla"
     if b == "pallas" and not pallas_ok:

@@ -56,7 +56,7 @@ class SamplerConfig:
     #: sweep engine: auto | xla | pallas (fused VMEM-resident kernel; real
     #: circulant-form CNNs only — auto falls back to xla otherwise)
     backend: str = "auto"
-    pallas_block: int = 256
+    pallas_block: int = 1024
 
 
 @dataclass(frozen=True)

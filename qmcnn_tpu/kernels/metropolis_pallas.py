@@ -198,6 +198,15 @@ def _pallas_sweep_impl(variables, s, logpsi_re, site_a, site_b, log_u, *,
         pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
+    # The circulant weights alone exceed the default 16MB scoped-vmem cap
+    # for flagship shapes (C=16^3 on 10x10 -> 20.7MB f32); v5e has 64MB of
+    # physical VMEM, so raise the cap to what this kernel actually needs.
+    vmem_bytes = int(sum(int(np.prod(w.shape)) * 4 for w in ws)
+                     + sum(int(np.prod(b.shape)) * 4 for b in bs)
+                     + 4 * block * n * 4          # s blocks + proposal tmp
+                     + 6 * np_dim * block * 4     # noise blocks (dbl-buf)
+                     + 8 * block * max(w.shape[1] for w in ws) * 4  # acts
+                     + (1 << 20))
     s_out, lp_out, acc = pl.pallas_call(
         kernel,
         grid=grid,
@@ -208,6 +217,8 @@ def _pallas_sweep_impl(variables, s, logpsi_re, site_a, site_b, log_u, *,
             jax.ShapeDtypeStruct((m, 1), jnp.float32),
             jax.ShapeDtypeStruct((m, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_bytes, 100 * 1024 * 1024)),
         interpret=interpret,
     )(s, logpsi_re.reshape(m, 1), site_a, site_b, log_u, *ws, *bs)
     return s_out, lp_out.reshape(m), acc.reshape(m)

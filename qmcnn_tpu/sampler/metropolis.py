@@ -112,7 +112,7 @@ class MetropolisSampler:
     #: identical Metropolis decisions — see kernels/metropolis_pallas.py).
     backend: str = "xla"
     lattice_shape: Optional[tuple] = None  # required for backend='pallas'
-    pallas_block: int = 256
+    pallas_block: int = 1024
 
     def __post_init__(self):
         if self.move not in ("flip", "exchange"):
