@@ -49,7 +49,9 @@ class HamiltonianConfig:
 @dataclass(frozen=True)
 class SamplerConfig:
     n_walkers: int = 1024
-    move: str = "auto"  # auto -> flip for TFIM, exchange for Heisenberg
+    move: str = "auto"  # auto -> flip (TFIM) / exchange (Heisenberg);
+    # exchange_anti = Hastings-corrected anti-aligned-only proposals
+    # (no identity proposals, ~2x mixing per forward)
     n_sweeps_per_step: int = 1
     n_therm_sweeps: int = 50
     sweep_size: Optional[int] = None  # proposals per sweep; default n_sites

@@ -90,6 +90,42 @@ def _propose_exchange(s: Array, key: Array, bonds: Array) -> Array:
     return jnp.where(on_bond & anti, -s, s)
 
 
+def _anti_mask(s: Array, bonds: Array) -> Array:
+    """[M, n_bonds] bool: bond anti-aligned in each walker."""
+    return s[:, bonds[:, 0]] * s[:, bonds[:, 1]] < 0
+
+
+def _propose_exchange_anti(s: Array, key: Array, bonds: Array):
+    """Swap one bond chosen uniformly from the ANTI-ALIGNED bonds.
+
+    Every proposal changes the state (no wasted forward passes on aligned
+    bonds — ~2x effective mixing per forward at equilibrium), at the cost
+    of an asymmetric proposal density q(s->s') = 1/n_anti(s). The Hastings
+    correction log[n_anti(s)/n_anti(s')] is returned for the acceptance
+    rule. If n_anti = 0 (impossible in the S^z=0 sector of a connected
+    lattice, but guarded) the proposal is the identity.
+
+    Returns (s_prop [M, N], log_correction [M]).
+    """
+    m, n = s.shape
+    anti = _anti_mask(s, bonds)                      # [M, B]
+    n_anti = anti.sum(axis=1)                        # [M]
+    u = jax.vmap(lambda k: jax.random.uniform(k))(key)
+    k_idx = jnp.floor(u * jnp.maximum(n_anti, 1)).astype(jnp.int32)
+    k_idx = jnp.minimum(k_idx, jnp.maximum(n_anti - 1, 0))
+    ranks = jnp.cumsum(anti, axis=1)                 # 1-based among anti
+    chosen = jnp.argmax(anti & (ranks == (k_idx + 1)[:, None]), axis=1)
+    i, j = bonds[chosen, 0], bonds[chosen, 1]
+    site_idx = jnp.arange(n)[None, :]
+    on_bond = (site_idx == i[:, None]) | (site_idx == j[:, None])
+    valid = (n_anti > 0)[:, None]
+    s_prop = jnp.where(on_bond & valid, -s, s)
+    n_anti_new = _anti_mask(s_prop, bonds).sum(axis=1)
+    log_corr = (jnp.log(jnp.maximum(n_anti, 1).astype(jnp.float32))
+                - jnp.log(jnp.maximum(n_anti_new, 1).astype(jnp.float32)))
+    return s_prop, jnp.where(n_anti > 0, log_corr, 0.0)
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class MetropolisSampler:
     """Walker-batched Metropolis sampler bound to a log-amplitude function.
@@ -115,21 +151,24 @@ class MetropolisSampler:
     pallas_block: int = 1024
 
     def __post_init__(self):
-        if self.move not in ("flip", "exchange"):
+        if self.move not in ("flip", "exchange", "exchange_anti"):
             raise ValueError(f"unknown move {self.move!r}")
-        if self.move == "exchange" and self.bonds is None:
-            raise ValueError("exchange move requires bonds")
+        if self.move.startswith("exchange") and self.bonds is None:
+            raise ValueError("exchange moves require bonds")
         if self.backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
-        if self.backend == "pallas" and self.lattice_shape is None:
-            raise ValueError("backend='pallas' requires lattice_shape")
+        if self.backend == "pallas":
+            if self.lattice_shape is None:
+                raise ValueError("backend='pallas' requires lattice_shape")
+            if self.move == "exchange_anti":
+                raise ValueError("backend='pallas' supports flip/exchange")
 
     @property
     def _sweep_size(self) -> int:
         return self.sweep_size or self.n_sites
 
     def init_state(self, params, key: Array, n_walkers: int) -> WalkerState:
-        sector = "sz0" if self.move == "exchange" else None
+        sector = "sz0" if self.move.startswith("exchange") else None
         s = init_walkers(key, n_walkers, self.n_sites, sector=sector)
         return self.refresh(params, WalkerState(
             s=s,
@@ -148,14 +187,18 @@ class MetropolisSampler:
         k_move, k_accept = jax.vmap(
             lambda k: tuple(jax.random.split(k, 2))
         )(keys)
+        log_corr = 0.0
         if self.move == "flip":
             s_new = _propose_flip(state.s, k_move, self.n_sites)
-        else:
+        elif self.move == "exchange":
             s_new = _propose_exchange(state.s, k_move,
                                       jnp.asarray(self.bonds))
+        else:  # exchange_anti: Hastings-corrected anti-aligned proposals
+            s_new, log_corr = _propose_exchange_anti(
+                state.s, k_move, jnp.asarray(self.bonds))
         log_psi_new = self.log_psi_fn(params, s_new)
-        # accept with prob min(1, |psi'/psi|^2) = min(1, exp(2 Re dlog))
-        log_ratio = 2.0 * (log_psi_new.re - state.log_psi.re)
+        # accept with prob min(1, q(s'->s)/q(s->s') |psi'/psi|^2)
+        log_ratio = 2.0 * (log_psi_new.re - state.log_psi.re) + log_corr
         u = jax.vmap(lambda k: jax.random.uniform(k))(k_accept)
         accept = jnp.log(u) < log_ratio  # [M] bool
         s = jnp.where(accept[:, None], s_new, state.s)

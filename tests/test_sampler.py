@@ -141,3 +141,43 @@ def test_refresh_recomputes_logpsi(tiny_model):
     want = log_psi_fn(variables, state.s)
     np.testing.assert_allclose(np.asarray(state.log_psi.re),
                                np.asarray(want.re), rtol=1e-6)
+
+
+def test_exchange_anti_samples_exact_sector_distribution(tiny_model):
+    """Hastings-corrected anti-aligned proposals must sample the SAME
+    sector distribution as plain exchange (catches correction bugs)."""
+    variables, log_psi_fn = tiny_model
+    lat = chain(N)
+    sampler = MetropolisSampler(log_psi_fn, n_sites=N, move="exchange_anti",
+                                bonds=lat.nn_bonds)
+    state, samples = collect_samples(sampler, variables, n_walkers=1500,
+                                     n_therm=30, n_snap=12)
+    assert np.all(samples.sum(axis=-1) == 0)
+    all_cfg = exact.all_configs(N)
+    sector = all_cfg.sum(axis=-1) == 0
+    p = exact_probs(log_psi_fn, variables, all_cfg)
+    p_sector = p * sector
+    p_sector = p_sector / p_sector.sum()
+    counts = np.bincount(config_index(samples), minlength=2 ** N)
+    p_emp = counts / counts.sum()
+    tv = 0.5 * np.abs(p_emp - p_sector).sum()
+    assert tv < 0.06, f"total variation {tv:.4f} too large"
+
+
+def test_exchange_anti_every_proposal_moves(tiny_model):
+    """No identity proposals: every accepted step changes the state, and
+    acceptance is high (no aligned-bond no-ops inflating it)."""
+    variables, log_psi_fn = tiny_model
+    lat = chain(N)
+    sampler = MetropolisSampler(log_psi_fn, n_sites=N, move="exchange_anti",
+                                bonds=lat.nn_bonds)
+    state = sampler.init_state(variables, jax.random.key(0), 64)
+    s_before = np.asarray(state.s)
+    state2 = sampler.sample(variables, state, jax.random.key(1),
+                            jnp.arange(64), n_sweeps=1)
+    acc = float(MetropolisSampler.acceptance_rate(state2))
+    assert 0.2 < acc <= 1.0
+    # walkers with accepted moves actually changed configuration
+    changed = (np.asarray(state2.s) != s_before).any(axis=1)
+    has_accepts = np.asarray(state2.n_accept) > 0
+    assert np.array_equal(changed, has_accepts)
