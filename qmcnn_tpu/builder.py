@@ -46,6 +46,7 @@ def build_model(cfg: Config, lattice: Lattice):
         complex_params=m.complex_params,
         param_scale=m.param_scale,
         conv_impl=m.conv_impl,
+        pbc=lattice.pbc,
     )
     if m.translation_average:
         return TranslationAveraged(inner=inner,

@@ -36,15 +36,17 @@ from qmcnn_tpu.ops.cplx import C
 Array = jax.Array
 
 
-def _circular_pad(x: Array, kernel: Tuple[int, ...]) -> Array:
-    """Wrap-pad the spatial dims of [batch, *spatial, C] for 'VALID' conv."""
+def _circular_pad(x: Array, kernel: Tuple[int, ...], pbc: bool = True
+                  ) -> Array:
+    """Pad the spatial dims of [batch, *spatial, C] for a 'VALID' conv:
+    wrap-pad under periodic boundaries, zero-pad for open boundaries."""
     pads = [(0, 0)]
     for k in kernel:
         lo = (k - 1) // 2
         hi = k - 1 - lo
         pads.append((lo, hi))
     pads.append((0, 0))
-    return jnp.pad(x, pads, mode="wrap")
+    return jnp.pad(x, pads, mode="wrap" if pbc else "constant")
 
 
 def _real_conv(x: Array, w: Array) -> Array:
@@ -61,21 +63,20 @@ def _real_conv(x: Array, w: Array) -> Array:
 
 
 # ---------------------------------------------------------------------------
-# Circular-conv implementations (one parameter layout, three compute paths)
-#
-# XLA's TPU conv emitter is far from peak on VMC shapes (tiny spatial dims,
-# narrow channels, huge batch), so the hot path re-expresses the circular
-# conv as MXU-native matmuls:
+# Circular-conv implementations (one parameter layout, three compute paths).
+# Measured on v5e (see resolve_conv_impl): XLA's direct conv is already the
+# fastest at VMC shapes, so it is the default; the matmul reformulations
+# remain because (a) 'circulant' is the form the fused Pallas sweep kernel
+# consumes (one [BLK, N*Cin] @ [N*Cin, N*Cout] MXU matmul per layer, weights
+# VMEM-resident), and (b) they are the fallback if another backend's conv
+# emitter underperforms.
 #   * 'roll'      — im2col via jnp.roll: stack the K shifted copies on the
 #                   channel axis, one [B*N, K*Cin] @ [K*Cin, Cout] matmul.
-#                   O(K*Cin*N*B) memory, any lattice size.
 #   * 'circulant' — materialize the circulant weight matrix [N*Cin, N*Cout]
-#                   (linear in w, rebuilt per step and hoisted out of the
-#                   sweep scan by XLA) and do one [B, N*Cin] @ [N*Cin,
-#                   N*Cout] matmul. More FLOPs (N/K^d x) but the best MXU
-#                   shape for small lattices; avoid for large N.
-#   * 'direct'    — lax.conv_general_dilated (XLA CPU convs are fine; used
-#                   as the correctness reference).
+#                   (linear in w, hoisted out of the sweep scan by XLA);
+#                   more FLOPs (N/K^d x), best for small lattices only.
+#   * 'direct'    — lax.conv_general_dilated (default; also the correctness
+#                   reference for the others).
 # ---------------------------------------------------------------------------
 
 def _tap_offsets(kernel: Tuple[int, ...]):
@@ -150,7 +151,11 @@ def resolve_conv_impl(impl: str, lattice_shape: Tuple[int, ...]) -> str:
 
 
 def apply_conv(x: Array, w: Array, lattice_shape: Tuple[int, ...],
-               impl: str) -> Array:
+               impl: str, pbc: bool = True) -> Array:
+    if not pbc:
+        # open boundaries: zero padding; the matmul reformulations assume
+        # wrap-around, so OBC always takes the direct conv path.
+        return _real_conv(_circular_pad(x, w.shape[:-2], pbc=False), w)
     impl = resolve_conv_impl(impl, lattice_shape)
     if impl == "direct":
         return _real_conv(_circular_pad(x, w.shape[:-2]), w)
@@ -175,6 +180,7 @@ class ComplexConv(nn.Module):
     param_scale: float = 0.05
     use_bias: bool = True
     conv_impl: str = "auto"
+    pbc: bool = True
 
     @nn.compact
     def __call__(self, z) -> C:
@@ -185,7 +191,7 @@ class ComplexConv(nn.Module):
         b = self.param("kernel_im", nn.initializers.normal(self.param_scale),
                        shape, jnp.float32)
         conv = lambda x, w: apply_conv(x, w, self.lattice_shape,
-                                       self.conv_impl)
+                                       self.conv_impl, pbc=self.pbc)
         if isinstance(z, C):
             p1 = conv(z.re, a)
             p2 = conv(z.im, b)
@@ -211,6 +217,7 @@ class RealConv(nn.Module):
     param_scale: float = 0.05
     use_bias: bool = True
     conv_impl: str = "auto"
+    pbc: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -218,7 +225,8 @@ class RealConv(nn.Module):
         w = self.param("kernel", nn.initializers.normal(self.param_scale),
                        (*self.kernel_size, in_features, self.features),
                        jnp.float32)
-        out = apply_conv(x, w, self.lattice_shape, self.conv_impl)
+        out = apply_conv(x, w, self.lattice_shape, self.conv_impl,
+                         pbc=self.pbc)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
@@ -242,6 +250,9 @@ class LogPsiCNN(nn.Module):
     complex_params: bool = False
     param_scale: float = 0.05
     conv_impl: str = "auto"
+    #: periodic boundaries (wrap padding, exact translation invariance);
+    #: False = open boundaries (zero padding, invariance does not apply)
+    pbc: bool = True
 
     @nn.compact
     def __call__(self, s: Array) -> C:
@@ -256,7 +267,7 @@ class LogPsiCNN(nn.Module):
                 x = ComplexConv(features=c, kernel_size=ksz,
                                 lattice_shape=tuple(self.lattice_shape),
                                 param_scale=self.param_scale,
-                                conv_impl=self.conv_impl)(x)
+                                conv_impl=self.conv_impl, pbc=self.pbc)(x)
                 x = cplx.lncosh(x)
             return C(x.re.reshape(batch, -1).sum(-1),
                      x.im.reshape(batch, -1).sum(-1))
@@ -264,7 +275,7 @@ class LogPsiCNN(nn.Module):
             x = RealConv(features=c, kernel_size=ksz,
                          lattice_shape=tuple(self.lattice_shape),
                          param_scale=self.param_scale,
-                         conv_impl=self.conv_impl)(x)
+                         conv_impl=self.conv_impl, pbc=self.pbc)(x)
             x = cplx.lncosh_real(x)
         out = x.reshape(batch, -1).sum(-1)
         return C(out, jnp.zeros_like(out))

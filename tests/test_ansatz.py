@@ -191,3 +191,32 @@ def test_conv_impls_agree(shape, ksz, complex_params):
                 err_msg=impl),
             got_grad, want_grad,
         )
+
+
+def test_open_boundary_model():
+    """pbc=False: zero padding — boundary sites see fewer neighbors, so
+    translation invariance must NOT hold, and an OBC TFIM trains sanely."""
+    model = LogPsiCNN(lattice_shape=(6,), channels=(4,), pbc=False)
+    s = rand_spins(jax.random.key(0), 4, 6)
+    v = model.init(jax.random.key(1), s)
+    base = model.apply(v, s)
+    rolled = model.apply(v, jnp.roll(s.reshape(4, 6), 1, axis=1))
+    assert not np.allclose(np.asarray(base.re), np.asarray(rolled.re),
+                           rtol=1e-4)
+    # end-to-end energy sanity on an open chain
+    from qmcnn_tpu import configs as cfglib
+    from qmcnn_tpu.builder import build
+    from qmcnn_tpu.ops import exact
+    from qmcnn_tpu.lattice import chain as mkchain
+
+    cfg = cfglib.from_yaml("""
+lattice: {shape: [6], pbc: false}
+model: {channels: [4]}
+hamiltonian: {kind: tfim, h: 1.0}
+sampler: {n_walkers: 32, move: flip, n_therm_sweeps: 2}
+""")
+    vmc, params, lattice = build(cfg)
+    assert len(lattice.nn_bonds) == 5  # open chain
+    state = vmc.init_state(jax.random.key(0), 32, params)
+    state, m = jax.jit(vmc.step)(state, jax.random.key(1), jnp.arange(32))
+    assert np.isfinite(float(m.energy_re))
