@@ -153,7 +153,7 @@ def build(cfg: Config, axis_name: Optional[str] = None
         log_psi_fn,
         n_sites=lattice.n_sites,
         move=move,
-        bonds=lattice.nn_bonds if move == "exchange" else None,
+        bonds=lattice.nn_bonds if move.startswith("exchange") else None,
         sweep_size=cfg.sampler.sweep_size,
         backend=resolve_sampler_backend(cfg),
         lattice_shape=tuple(lattice.shape),

@@ -170,3 +170,17 @@ run: {{n_steps: 4, log_every: 2, ckpt_every: 2}}
     assert len(report["szsz_corr"]) == 8
     np.testing.assert_allclose(report["szsz_corr"][0], 0.25, rtol=1e-5)
     ck.close()
+
+
+def test_exchange_anti_builds():
+    """Regression: builder must pass bonds for move='exchange_anti'."""
+    cfg = cfglib.from_yaml("""
+lattice: {shape: [8]}
+hamiltonian: {kind: heisenberg}
+sampler: {n_walkers: 16, move: exchange_anti, n_therm_sweeps: 1}
+""")
+    vmc, params, lattice = build(cfg)
+    assert vmc.sampler.bonds is not None
+    state = vmc.init_state(jax.random.key(0), 16, params)
+    state, m = jax.jit(vmc.step)(state, jax.random.key(1), jnp.arange(16))
+    assert np.isfinite(float(m.energy_re))
