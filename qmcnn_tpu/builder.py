@@ -39,6 +39,22 @@ def build_hamiltonian(cfg: Config, lattice: Lattice):
 
 def build_model(cfg: Config, lattice: Lattice):
     m = cfg.model
+    if m.translation_average and not lattice.pbc:
+        raise ValueError("translation averaging requires periodic boundaries")
+    if m.kind == "rbm":
+        from qmcnn_tpu.models.rbm import LogPsiRBM
+
+        if m.rbm_tie_translations and not lattice.pbc:
+            raise ValueError("tied-RBM weights require periodic boundaries")
+        return LogPsiRBM(
+            lattice_shape=tuple(lattice.shape),
+            alpha=m.rbm_alpha,
+            complex_params=m.complex_params,
+            tie_translations=m.rbm_tie_translations,
+            param_scale=m.param_scale,
+        )
+    if m.kind != "cnn":
+        raise ValueError(f"unknown model kind {m.kind!r}")
     inner = LogPsiCNN(
         lattice_shape=tuple(lattice.shape),
         channels=tuple(m.channels),
@@ -117,7 +133,8 @@ def resolve_sampler_backend(cfg: Config) -> str:
     (171k vs 130k walker-sweeps/s, exact decision parity) — and the XLA
     sweep everywhere else."""
     b = cfg.sampler.backend
-    pallas_ok = (not cfg.model.complex_params
+    pallas_ok = (cfg.model.kind == "cnn"
+                 and not cfg.model.complex_params
                  and not cfg.model.translation_average)
     if b == "auto":
         # measured on v5e: pallas wins for single-flip sweeps (+32% at

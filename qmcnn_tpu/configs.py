@@ -23,6 +23,7 @@ class LatticeConfig:
 
 @dataclass(frozen=True)
 class ModelConfig:
+    kind: str = "cnn"  # cnn | rbm
     channels: Tuple[int, ...] = (8, 8)
     kernel_size: int = 3
     complex_params: bool = False
@@ -33,8 +34,11 @@ class ModelConfig:
     translation_average: bool = False
     shift_stride: int = 1
     #: circular-conv compute path: auto | direct | roll | circulant
-    #: (auto = circulant/roll matmul forms on TPU, direct lax.conv on CPU)
-    conv_impl: str = "auto" 
+    conv_impl: str = "auto"
+    #: RBM-only (kind='rbm'): hidden density H = alpha * N, and circulant
+    #: weight tying for translation invariance
+    rbm_alpha: int = 2
+    rbm_tie_translations: bool = True
 
 
 @dataclass(frozen=True)

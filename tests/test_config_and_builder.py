@@ -184,3 +184,20 @@ sampler: {n_walkers: 16, move: exchange_anti, n_therm_sweeps: 1}
     state = vmc.init_state(jax.random.key(0), 16, params)
     state, m = jax.jit(vmc.step)(state, jax.random.key(1), jnp.arange(16))
     assert np.isfinite(float(m.energy_re))
+
+
+def test_rbm_model_kind_builds_and_trains():
+    cfg = cfglib.from_yaml("""
+lattice: {shape: [8]}
+model: {kind: rbm, rbm_alpha: 2, rbm_tie_translations: true}
+hamiltonian: {kind: tfim}
+sampler: {n_walkers: 32, move: flip, n_therm_sweeps: 2}
+""")
+    vmc, params, lattice = build(cfg)
+    state = vmc.init_state(jax.random.key(0), 32, params)
+    state, m = jax.jit(vmc.step)(state, jax.random.key(1), jnp.arange(32))
+    assert np.isfinite(float(m.energy_re))
+    with pytest.raises(ValueError):
+        build(cfglib.apply_overrides(cfg, ["model.kind=bogus"]))
+    with pytest.raises(ValueError):
+        build(cfglib.apply_overrides(cfg, ["lattice.pbc=false"]))
