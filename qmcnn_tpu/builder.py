@@ -63,6 +63,7 @@ def build_model(cfg: Config, lattice: Lattice):
         param_scale=m.param_scale,
         conv_impl=m.conv_impl,
         pbc=lattice.pbc,
+        compute_dtype=m.compute_dtype,
     )
     if m.translation_average:
         return TranslationAveraged(inner=inner,

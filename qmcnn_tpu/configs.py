@@ -35,6 +35,9 @@ class ModelConfig:
     shift_stride: int = 1
     #: circular-conv compute path: auto | direct | roll | circulant
     conv_impl: str = "auto"
+    #: conv operand precision: float32 | bfloat16 (f32 accumulation; run the
+    #: energy-bias A/B in BASELINE.md before enabling bf16 on a new system)
+    compute_dtype: str = "float32"
     #: RBM-only (kind='rbm'): hidden density H = alpha * N, and circulant
     #: weight tying for translation invariance
     rbm_alpha: int = 2

@@ -49,15 +49,22 @@ def _circular_pad(x: Array, kernel: Tuple[int, ...], pbc: bool = True
     return jnp.pad(x, pads, mode="wrap" if pbc else "constant")
 
 
-def _real_conv(x: Array, w: Array) -> Array:
-    """VALID real conv, NWC/NHWC layout, float32 accumulation on the MXU."""
+def _real_conv(x: Array, w: Array, compute_dtype=jnp.float32) -> Array:
+    """VALID real conv, NWC/NHWC layout, float32 accumulation on the MXU.
+
+    ``compute_dtype=bfloat16`` casts the conv operands to bf16 (2x MXU rate)
+    while keeping f32 accumulation; activations, acceptance math, and local
+    energies stay f32 throughout (SURVEY.md hard part #6 — enable only
+    after the energy-bias A/B documented in BASELINE.md).
+    """
     ndim = w.ndim - 2  # spatial dims
     dn = jax.lax.conv_dimension_numbers(
         x.shape, w.shape,
         ("NWC", "WIO", "NWC") if ndim == 1 else ("NHWC", "HWIO", "NHWC"),
     )
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=(1,) * ndim, padding="VALID",
+        x.astype(compute_dtype), w.astype(compute_dtype),
+        window_strides=(1,) * ndim, padding="VALID",
         dimension_numbers=dn, preferred_element_type=jnp.float32,
     )
 
@@ -151,14 +158,16 @@ def resolve_conv_impl(impl: str, lattice_shape: Tuple[int, ...]) -> str:
 
 
 def apply_conv(x: Array, w: Array, lattice_shape: Tuple[int, ...],
-               impl: str, pbc: bool = True) -> Array:
+               impl: str, pbc: bool = True,
+               compute_dtype=jnp.float32) -> Array:
     if not pbc:
         # open boundaries: zero padding; the matmul reformulations assume
         # wrap-around, so OBC always takes the direct conv path.
-        return _real_conv(_circular_pad(x, w.shape[:-2], pbc=False), w)
+        return _real_conv(_circular_pad(x, w.shape[:-2], pbc=False), w,
+                          compute_dtype)
     impl = resolve_conv_impl(impl, lattice_shape)
     if impl == "direct":
-        return _real_conv(_circular_pad(x, w.shape[:-2]), w)
+        return _real_conv(_circular_pad(x, w.shape[:-2]), w, compute_dtype)
     if impl == "roll":
         return _conv_roll(x, w, lattice_shape)
     if impl == "circulant":
@@ -181,6 +190,7 @@ class ComplexConv(nn.Module):
     use_bias: bool = True
     conv_impl: str = "auto"
     pbc: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, z) -> C:
@@ -190,8 +200,9 @@ class ComplexConv(nn.Module):
                        shape, jnp.float32)
         b = self.param("kernel_im", nn.initializers.normal(self.param_scale),
                        shape, jnp.float32)
-        conv = lambda x, w: apply_conv(x, w, self.lattice_shape,
-                                       self.conv_impl, pbc=self.pbc)
+        conv = lambda x, w: apply_conv(
+            x, w, self.lattice_shape, self.conv_impl, pbc=self.pbc,
+            compute_dtype=jnp.dtype(self.compute_dtype))
         if isinstance(z, C):
             p1 = conv(z.re, a)
             p2 = conv(z.im, b)
@@ -218,6 +229,7 @@ class RealConv(nn.Module):
     use_bias: bool = True
     conv_impl: str = "auto"
     pbc: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -226,7 +238,8 @@ class RealConv(nn.Module):
                        (*self.kernel_size, in_features, self.features),
                        jnp.float32)
         out = apply_conv(x, w, self.lattice_shape, self.conv_impl,
-                         pbc=self.pbc)
+                         pbc=self.pbc,
+                         compute_dtype=jnp.dtype(self.compute_dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
@@ -253,6 +266,8 @@ class LogPsiCNN(nn.Module):
     #: periodic boundaries (wrap padding, exact translation invariance);
     #: False = open boundaries (zero padding, invariance does not apply)
     pbc: bool = True
+    #: 'float32' or 'bfloat16' conv operands (f32 accumulation either way)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, s: Array) -> C:
@@ -267,7 +282,8 @@ class LogPsiCNN(nn.Module):
                 x = ComplexConv(features=c, kernel_size=ksz,
                                 lattice_shape=tuple(self.lattice_shape),
                                 param_scale=self.param_scale,
-                                conv_impl=self.conv_impl, pbc=self.pbc)(x)
+                                conv_impl=self.conv_impl, pbc=self.pbc,
+                                compute_dtype=self.compute_dtype)(x)
                 x = cplx.lncosh(x)
             return C(x.re.reshape(batch, -1).sum(-1),
                      x.im.reshape(batch, -1).sum(-1))
@@ -275,7 +291,8 @@ class LogPsiCNN(nn.Module):
             x = RealConv(features=c, kernel_size=ksz,
                          lattice_shape=tuple(self.lattice_shape),
                          param_scale=self.param_scale,
-                         conv_impl=self.conv_impl, pbc=self.pbc)(x)
+                         conv_impl=self.conv_impl, pbc=self.pbc,
+                         compute_dtype=self.compute_dtype)(x)
             x = cplx.lncosh_real(x)
         out = x.reshape(batch, -1).sum(-1)
         return C(out, jnp.zeros_like(out))

@@ -220,3 +220,18 @@ sampler: {n_walkers: 32, move: flip, n_therm_sweeps: 2}
     state = vmc.init_state(jax.random.key(0), 32, params)
     state, m = jax.jit(vmc.step)(state, jax.random.key(1), jnp.arange(32))
     assert np.isfinite(float(m.energy_re))
+
+
+def test_bf16_compute_close_to_f32():
+    """bf16 conv operands (f32 accumulation): log psi within bf16 tolerance
+    of the f32 forward, same params."""
+    model32 = LogPsiCNN(lattice_shape=(4, 4), channels=(8, 8))
+    model16 = LogPsiCNN(lattice_shape=(4, 4), channels=(8, 8),
+                        compute_dtype="bfloat16")
+    s = rand_spins(jax.random.key(0), 16, 16)
+    v = model32.init(jax.random.key(1), s)
+    a = model32.apply(v, s)
+    b = model16.apply(v, s)
+    assert b.re.dtype == jnp.float32  # outputs stay f32
+    np.testing.assert_allclose(np.asarray(b.re), np.asarray(a.re),
+                               rtol=2e-2, atol=5e-2)
