@@ -62,11 +62,21 @@ def _real_conv(x: Array, w: Array, compute_dtype=jnp.float32) -> Array:
         x.shape, w.shape,
         ("NWC", "WIO", "NWC") if ndim == 1 else ("NHWC", "HWIO", "NHWC"),
     )
-    return jax.lax.conv_general_dilated(
+    if compute_dtype == jnp.float32:
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1,) * ndim, padding="VALID",
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+        )
+    # reduced precision: run the conv fully in compute_dtype (the MXU still
+    # accumulates f32 internally; outputs round per layer) and cast back.
+    # NOTE: mixing preferred_element_type=f32 with bf16 operands breaks the
+    # autodiff transpose rule (cotangent arrives f32), hence this form.
+    out = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), w.astype(compute_dtype),
         window_strides=(1,) * ndim, padding="VALID",
-        dimension_numbers=dn, preferred_element_type=jnp.float32,
+        dimension_numbers=dn,
     )
+    return out.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
