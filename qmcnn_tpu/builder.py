@@ -14,7 +14,8 @@ import optax
 
 from qmcnn_tpu.configs import Config
 from qmcnn_tpu.lattice import Lattice
-from qmcnn_tpu.models.cnn import LogPsiCNN, TranslationAveraged, log_psi_apply
+from qmcnn_tpu.models.cnn import (LogPsiCNN, PointGroupAveraged,
+                                  TranslationAveraged, log_psi_apply)
 from qmcnn_tpu.ops.hamiltonians import TFIM, Heisenberg
 from qmcnn_tpu.parallel.mesh import ShardedVMC, make_sharded_vmc, walker_mesh
 from qmcnn_tpu.sampler.metropolis import MetropolisSampler
@@ -66,9 +67,15 @@ def build_model(cfg: Config, lattice: Lattice):
         compute_dtype=m.compute_dtype,
     )
     if m.translation_average:
-        return TranslationAveraged(inner=inner,
-                                   lattice_shape=tuple(lattice.shape),
-                                   shift_stride=m.shift_stride)
+        inner = TranslationAveraged(inner=inner,
+                                    lattice_shape=tuple(lattice.shape),
+                                    shift_stride=m.shift_stride)
+    if m.point_group_average:
+        if lattice.ndim != 2 or not lattice.pbc:
+            raise ValueError("point_group_average needs a periodic 2D "
+                             "lattice")
+        inner = PointGroupAveraged(inner=inner,
+                                   lattice_shape=tuple(lattice.shape))
     return inner
 
 
@@ -136,7 +143,8 @@ def resolve_sampler_backend(cfg: Config) -> str:
     b = cfg.sampler.backend
     pallas_ok = (cfg.model.kind == "cnn"
                  and not cfg.model.complex_params
-                 and not cfg.model.translation_average)
+                 and not cfg.model.translation_average
+                 and not cfg.model.point_group_average)
     if b == "auto":
         # measured on v5e: pallas wins for single-flip sweeps (+32% at
         # M=1024 flagship shapes) but the XLA scan wins for exchange

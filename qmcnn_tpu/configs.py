@@ -33,6 +33,9 @@ class ModelConfig:
     #: reference's explicit averaging is wanted (costs n_sites forwards).
     translation_average: bool = False
     shift_stride: int = 1
+    #: C4v point-group projection (8 forwards; 2D lattices): rotations and
+    #: reflections are NOT built into the conv stack, unlike translations
+    point_group_average: bool = False
     #: circular-conv compute path: auto | direct | roll | circulant
     conv_impl: str = "auto"
     #: conv operand precision: float32 | bfloat16 (f32 accumulation; run the

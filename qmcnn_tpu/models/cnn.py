@@ -340,6 +340,46 @@ class TranslationAveraged(nn.Module):
         return cplx.logmeanexp(logs, axis=0)
 
 
+class PointGroupAveraged(nn.Module):
+    """Point-group symmetrization for square lattices (C4v, 8 elements):
+
+      psi_sym(s) = mean over g in {rotations, reflections} of psi(g s)
+      => log psi_sym = logmeanexp_g log psi(g s).
+
+    Complements the CNN's built-in translation invariance (conv kernels are
+    anisotropic, so rotations/reflections are NOT already symmetries) —
+    projecting onto the trivial representation of the full space group is
+    the standard accuracy lever for frustrated models like J1-J2. Costs 8
+    forwards. Requires a square (Lx == Ly) lattice for the rotations;
+    rectangular lattices fall back to the 4 reflection elements (C2v).
+    """
+
+    inner: nn.Module
+    lattice_shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, s: Array) -> C:
+        if len(self.lattice_shape) != 2:
+            raise ValueError("PointGroupAveraged needs a 2D lattice")
+        batch = s.shape[0]
+        grid = s.reshape(batch, *self.lattice_shape)
+        square_lattice = self.lattice_shape[0] == self.lattice_shape[1]
+        transforms = []
+        for flip in [False, True]:
+            g0 = jnp.flip(grid, axis=2) if flip else grid
+            if square_lattice:
+                for k in range(4):
+                    transforms.append(jnp.rot90(g0, k=k, axes=(1, 2)))
+            else:
+                transforms.append(g0)
+                transforms.append(jnp.rot90(g0, k=2, axes=(1, 2)))
+        stacked = jnp.stack([t.reshape(batch, -1) for t in transforms],
+                            axis=0)  # [G, batch, N]
+        g = stacked.shape[0]
+        logs = cplx.as_c(self.inner(stacked.reshape(g * batch, -1)))
+        return cplx.logmeanexp(logs.reshape(g, batch), axis=0)
+
+
 def log_psi_apply(model: nn.Module, variables, s: Array) -> C:
     """Uniform entry point: always returns a C pair of log-amplitudes."""
     return cplx.as_c(model.apply(variables, s))

@@ -235,3 +235,27 @@ def test_bf16_compute_close_to_f32():
     assert b.re.dtype == jnp.float32  # outputs stay f32
     np.testing.assert_allclose(np.asarray(b.re), np.asarray(a.re),
                                rtol=2e-2, atol=5e-2)
+
+
+def test_point_group_averaging():
+    """C4v projection: averaged psi invariant under rotations/reflections
+    of the configuration (which the bare CNN is NOT)."""
+    from qmcnn_tpu.models.cnn import PointGroupAveraged
+
+    shape = (4, 4)
+    inner = LogPsiCNN(lattice_shape=shape, channels=(4,), param_scale=0.4,
+                      complex_params=True)
+    model = PointGroupAveraged(inner=inner, lattice_shape=shape)
+    s = rand_spins(jax.random.key(0), 5, 16)
+    v = model.init(jax.random.key(1), s)
+    base = model.apply(v, s).to_numpy()
+    grid = np.asarray(s).reshape(5, 4, 4)
+    for tf in [np.rot90(grid, 1, (1, 2)), grid[:, :, ::-1],
+               np.rot90(grid, 3, (1, 2))[:, ::-1, :]]:
+        out = model.apply(v, jnp.asarray(tf.reshape(5, 16).copy())).to_numpy()
+        np.testing.assert_allclose(np.exp(out), np.exp(base), rtol=2e-4)
+    # bare net is NOT rotation invariant (sanity that the test is nontrivial)
+    b0 = inner.apply({"params": v["params"]["inner"]}, s)
+    b1 = inner.apply({"params": v["params"]["inner"]},
+                     jnp.asarray(np.rot90(grid, 1, (1, 2)).reshape(5, 16).copy()))
+    assert not np.allclose(np.asarray(b0.re), np.asarray(b1.re), rtol=1e-4)
