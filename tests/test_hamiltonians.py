@@ -133,3 +133,12 @@ def test_first_touch_inside_jit_no_tracer_leak():
             return (mel * mask).sum()
 
         second(s).block_until_ready()
+
+
+def test_tfim_2d_matches_dense():
+    """TFIM is generic over lattices: 2D case vs the independent builder."""
+    lat = square(2, 4)
+    ham = TFIM(lat, j=1.0, h=1.3)
+    got = exact.dense_from_hamiltonian(ham).real
+    want = exact.sparse_tfim(lat.n_sites, lat.nn_bonds, j=1.0, h=1.3).toarray()
+    np.testing.assert_allclose(got, want, atol=1e-6)
