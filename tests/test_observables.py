@@ -22,46 +22,28 @@ def test_staggered_magnetization():
     np.testing.assert_allclose(out, 0.25)  # perfect Neel: (1/2)^2
 
 
-def test_szsz_correlation_exact_enumeration():
-    """Weighted-enumeration C(r) == dense <psi|Sz_0 Sz_r|psi> (1D and 2D)."""
+def test_szsz_correlation_vs_site_indexing_oracle():
+    """The roll-based C(r) estimator == an independent site-indexing oracle
+    (catches displacement/row-major bookkeeping bugs) on uniform batches."""
     for lat in [chain(6), square(2, 4)]:
         n = lat.n_sites
-        model = LogPsiCNN(lattice_shape=lat.shape, channels=(3,),
-                          param_scale=0.3)
-        v = model.init(jax.random.key(2), jnp.ones((1, n), jnp.float32))
         configs = jnp.asarray(exact.all_configs(n))
-        lp = log_psi_apply(model, v, configs)
-        psi = np.exp(np.asarray(lp.re, np.float64))
-        p = psi ** 2
-        p /= p.sum()
-        # our estimator with walkers drawn as the full enumeration weighted
-        # manually: emulate by computing per-config then p-weighting
-        s_np = np.asarray(configs)
-        # exact C(r) via translation average
-        sz = s_np.reshape(-1, *lat.shape) / 2.0
-        axes = tuple(range(1, 1 + lat.ndim))
-        want = []
+        got = np.asarray(observables.szsz_correlation(configs, lat))
+        s_np = np.asarray(configs) / 2.0
+        shape = np.asarray(lat.shape)
+        # oracle: for displacement r (as lattice coords), average over sites
+        # i of sz_i * sz_{i+r}, sites mapped with explicit modular arithmetic
+        want = np.zeros(n)
         for r in range(n):
-            shift = tuple(int(c) for c in lat.coords[r])
-            rolled = np.roll(sz, shift, axis=axes)
-            per_cfg = (sz * rolled).reshape(len(s_np), -1).mean(axis=1)
-            want.append((p * per_cfg).sum())
-        # estimator on an importance-sampled batch would converge to `want`;
-        # here feed the enumeration directly with uniform weights times p by
-        # duplicating via probability-weighted average identity:
-        got = []
-        corr_per_cfg = observables.szsz_correlation  # operates on batch mean
-        # compute batch version manually config by config to apply weights
-        for r in range(n):
-            shift = tuple(int(c) for c in lat.coords[r])
-            rolled = np.roll(sz, shift, axis=axes)
-            per_cfg = (sz * rolled).reshape(len(s_np), -1).mean(axis=1)
-            got.append((p * per_cfg).sum())
-        np.testing.assert_allclose(got, want, rtol=1e-6)
-        # unweighted batch path runs and has the right shape/symmetry
-        out = np.asarray(observables.szsz_correlation(configs, lat))
-        assert out.shape == (n,)
-        np.testing.assert_allclose(out[0], 0.25, rtol=1e-6)  # C(0) = 1/4
+            disp = lat.coords[r]
+            acc = 0.0
+            for i in range(n):
+                j = int(np.ravel_multi_index(
+                    (lat.coords[i] + disp) % shape, lat.shape))
+                acc += (s_np[:, i] * s_np[:, j]).mean()
+            want[r] = acc / n
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(got[0], 0.25, rtol=1e-6)  # C(0) = 1/4
 
 
 def test_structure_factor_neel_peak():
