@@ -147,9 +147,9 @@ def resolve_sampler_backend(cfg: Config) -> str:
                  and not cfg.model.point_group_average)
     if b == "auto":
         # measured on v5e: pallas wins for single-flip sweeps (+32% at
-        # M=1024 flagship shapes) but the XLA scan wins for exchange
-        # sweeps at M=2048 (135k vs 121k w-sweeps/s) — the fused kernel's
-        # per-block matmuls trade MXU occupancy for VMEM residency.
+        # M=1024 flagship shapes); for exchange sweeps the gather-free XLA
+        # scan wins decisively (279k vs 121k w-sweeps/s at M=2048) — the
+        # fused kernel pays the circulant form's ~11x FLOP overhead.
         if (pallas_ok and jax.default_backend() == "tpu"
                 and resolve_move(cfg) == "flip"):
             return "pallas"
