@@ -47,13 +47,30 @@ def build_model(cfg: Config, lattice: Lattice):
 
         if m.rbm_tie_translations and not lattice.pbc:
             raise ValueError("tied-RBM weights require periodic boundaries")
-        return LogPsiRBM(
+        return _maybe_spin_flip(LogPsiRBM(
             lattice_shape=tuple(lattice.shape),
             alpha=m.rbm_alpha,
             complex_params=m.complex_params,
             tie_translations=m.rbm_tie_translations,
             param_scale=m.param_scale,
+        ), m)
+    if m.kind == "gcnn":
+        from qmcnn_tpu.models.gcnn import LogPsiGCNN, SpinFlipSymmetrized
+
+        if len(lattice.shape) != 2 or not lattice.pbc:
+            raise ValueError("gcnn needs a periodic 2D lattice")
+        if m.translation_average or m.point_group_average:
+            raise ValueError("gcnn is already fully space-group symmetric; "
+                             "drop translation/point_group averaging")
+        inner = LogPsiGCNN(
+            lattice_shape=tuple(lattice.shape),
+            channels=tuple(m.channels),
+            kernel_size=m.kernel_size,
+            complex_params=m.complex_params,
+            param_scale=m.param_scale,
+            character=m.gcnn_character,
         )
+        return _maybe_spin_flip(inner, m)
     if m.kind != "cnn":
         raise ValueError(f"unknown model kind {m.kind!r}")
     inner = LogPsiCNN(
@@ -76,7 +93,15 @@ def build_model(cfg: Config, lattice: Lattice):
                              "lattice")
         inner = PointGroupAveraged(inner=inner,
                                    lattice_shape=tuple(lattice.shape))
-    return inner
+    return _maybe_spin_flip(inner, m)
+
+
+def _maybe_spin_flip(inner, m):
+    if not m.spin_flip_sector:
+        return inner
+    from qmcnn_tpu.models.gcnn import SpinFlipSymmetrized
+
+    return SpinFlipSymmetrized(inner=inner, sector=m.spin_flip_sector)
 
 
 def build_lr_schedule(cfg: Config):
@@ -144,7 +169,8 @@ def resolve_sampler_backend(cfg: Config) -> str:
     pallas_ok = (cfg.model.kind == "cnn"
                  and not cfg.model.complex_params
                  and not cfg.model.translation_average
-                 and not cfg.model.point_group_average)
+                 and not cfg.model.point_group_average
+                 and not cfg.model.spin_flip_sector)
     if b == "auto":
         # measured on v5e: pallas wins for single-flip sweeps (+32% at
         # M=1024 flagship shapes); for exchange sweeps the gather-free XLA

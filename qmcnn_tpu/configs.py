@@ -23,7 +23,7 @@ class LatticeConfig:
 
 @dataclass(frozen=True)
 class ModelConfig:
-    kind: str = "cnn"  # cnn | rbm
+    kind: str = "cnn"  # cnn | gcnn | rbm
     channels: Tuple[int, ...] = (8, 8)
     kernel_size: int = 3
     complex_params: bool = False
@@ -45,6 +45,12 @@ class ModelConfig:
     #: weight tying for translation invariance
     rbm_alpha: int = 2
     rbm_tie_translations: bool = True
+    #: GCNN-only (kind='gcnn'): C4v character of the projected readout
+    #: (A1 | A2 | B1 | B2); channels are per-group-element widths
+    gcnn_character: str = "A1"
+    #: Z2 spin-inversion projection (any model kind): 0 = off, +1/-1 = the
+    #: parity sector (S^z=0 Heisenberg/J1-J2 ground states: +1)
+    spin_flip_sector: int = 0
 
 
 @dataclass(frozen=True)
