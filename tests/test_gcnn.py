@@ -182,6 +182,26 @@ def test_builder_gcnn_needs_2d():
         builder.build_model(cfg, builder.build_lattice(cfg))
 
 
+@pytest.mark.parametrize("kind", ["cnn", "rbm"])
+def test_spin_flip_wraps_other_model_kinds(spins, kind):
+    """spin_flip_sector is a model-agnostic wrapper: +1 projection makes
+    psi(-s) == psi(s) for cnn and rbm ansaetze too."""
+    cfg = configs.Config(
+        lattice=configs.LatticeConfig(shape=(4, 4)),
+        model=configs.ModelConfig(kind=kind, channels=(4,),
+                                  complex_params=True, spin_flip_sector=1),
+    )
+    model = builder.build_model(cfg, builder.build_lattice(cfg))
+    s = spins[:, :16]
+    p = model.init(jax.random.key(0), s)
+    a = cplx.as_c(model.apply(p, s))
+    b = cplx.as_c(model.apply(p, -s))
+    np.testing.assert_allclose(a.re, b.re, atol=1e-5)
+    assert _angle_dev(a.im, b.im) < 1e-5
+    # and the pallas fast path must be declined for the wrapped model
+    assert builder.resolve_sampler_backend(cfg) == "xla"
+
+
 def test_config_roundtrip_gcnn():
     cfg = _gcnn_cfg(gcnn_character="B1", spin_flip_sector=1)
     assert configs.from_yaml(configs.to_yaml(cfg)) == cfg
