@@ -55,7 +55,7 @@ def build_model(cfg: Config, lattice: Lattice):
             param_scale=m.param_scale,
         ), m)
     if m.kind == "gcnn":
-        from qmcnn_tpu.models.gcnn import LogPsiGCNN, SpinFlipSymmetrized
+        from qmcnn_tpu.models.gcnn import LogPsiGCNN
 
         if len(lattice.shape) != 2 or not lattice.pbc:
             raise ValueError("gcnn needs a periodic 2D lattice")

@@ -38,26 +38,38 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
                                n_sweeps=therm_sweeps)
 
     n = lattice.n_sites
-    e_trace, m_trace, mst_trace = [], [], []
+    e_trace, m_trace, mst_trace, ss_trace = [], [], [], []
     corr_acc = np.zeros(n)
+    # full S_i.S_{i+r} at the nearest-neighbor displacement (the bond
+    # energy per bond direction; costs N forwards/walker, so just NN here —
+    # observables.spin_spin_correlation does any r on demand)
+    nn_disp = int(np.ravel_multi_index(
+        tuple([1] + [0] * (lattice.ndim - 1)), lattice.shape))
 
     @jax.jit
     def measure_once(state):
         walkers = state.walkers
         e = local_energy(vmc.log_psi_fn, state.params, vmc.ham, walkers.s,
                          walkers.log_psi)
+        ss_nn = observables.spin_spin_correlation(
+            vmc.log_psi_fn, state.params, walkers.s, walkers.log_psi,
+            lattice, nn_disp,
+            marshall=(cfg.hamiltonian.kind in ("heisenberg", "j1j2")
+                      and cfg.hamiltonian.marshall))
         return (e.mean().re,
                 observables.magnetization(walkers.s),
                 observables.staggered_magnetization_sq(walkers.s, lattice),
-                observables.szsz_correlation(walkers.s, lattice))
+                observables.szsz_correlation(walkers.s, lattice),
+                ss_nn.re)
 
     for i in range(n_samples):
         state = sharded.thermalize(state, jax.random.fold_in(key, 100 + i),
                                    n_sweeps=sweeps_between)
-        e, m, mst, corr = measure_once(state)
+        e, m, mst, corr, ss_nn = measure_once(state)
         e_trace.append(float(e))
         m_trace.append(float(m))
         mst_trace.append(float(mst))
+        ss_trace.append(float(ss_nn))
         corr_acc += np.asarray(corr)
 
     corr = corr_acc / n_samples
@@ -69,6 +81,7 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         "energy_per_site": float(np.mean(e_trace)) / n,
         "magnetization": float(np.mean(m_trace)),
         "staggered_m2": float(np.mean(mst_trace)),
+        "spin_spin_nn": float(np.mean(ss_trace)),
         "szsz_corr": corr.tolist(),
         "structure_factor_peak": float(sq.max()),
         "structure_factor_peak_q_index": int(sq.argmax()),

@@ -75,6 +75,77 @@ def staggered_magnetization_sq(s: Array, lattice: Lattice,
     return pmean((m_st * m_st).mean(), axis_name)
 
 
+def spin_spin_connected(lattice: Lattice, displacement: int,
+                        marshall: bool = False):
+    """connected_fn for the OFF-DIAGONAL part of (1/N) sum_i S_i . S_{i+r}.
+
+    (S^+_i S^-_j + S^-_i S^+_j)/2 flips an anti-aligned pair with
+    coefficient 1/2; aligned pairs contribute 0 (masked). ``displacement``
+    indexes the lattice like a site (same convention as szsz_correlation);
+    must be nonzero (r = 0 has no off-diagonal part).
+
+    ``marshall=True`` when the wavefunction was trained in the
+    Marshall-rotated basis (hamiltonian.marshall, the Heisenberg/J1-J2
+    default): the rotation sends S^+-_i -> -S^+-_i on sublattice A, so
+    opposite-sublattice pairs pick up a -1 — without it the measured
+    transverse correlation has the wrong sign (caught by a live run: NN
+    <S_i.S_j> came out +0.15 on a 4x4 AFM ground state instead of ~ -0.35).
+    """
+    n = lattice.n_sites
+    coords = np.asarray(lattice.coords)
+    shape = np.asarray(lattice.shape)
+    perm = np.ravel_multi_index(
+        ((coords + coords[displacement]) % shape).T, tuple(lattice.shape))
+    if int(displacement) == 0:
+        raise ValueError("displacement 0 is purely diagonal (S_i.S_i = 3/4)")
+    eye = np.eye(n, dtype=np.float32)
+    # flip_sign[k] = -1 on sites k and perm[k], +1 elsewhere
+    flip_sign = jnp.asarray(1.0 - 2.0 * np.clip(eye + eye[perm], 0, 1))
+    perm_j = jnp.asarray(perm)
+    sign = np.full(n, 0.5 / n, np.float32)
+    if marshall:
+        sub = np.asarray(lattice.sublattice_mask)
+        sign = np.where(sub != sub[perm], -sign, sign).astype(np.float32)
+    coeff_k = jnp.asarray(sign)
+
+    def connected(s: Array):
+        s_i = s                       # [N] spin at site k (k = i index)
+        s_j = s[perm_j]               # spin at site k + r
+        anti = (s_i * s_j) < 0.0
+        sp = s[None, :] * flip_sign   # [K=N, N]
+        return sp, coeff_k, anti
+
+    return connected
+
+
+def spin_spin_correlation(log_psi_fn, params, s: Array, log_psi: C,
+                          lattice: Lattice, displacement: int,
+                          marshall: bool = False,
+                          axis_name: Optional[str] = None) -> C:
+    """Full C(r) = (1/N) sum_i <S_i . S_{i+r}> for one displacement.
+
+    Diagonal S^z S^z part from configurations (free); transverse part via
+    the amplitude-ratio machinery (costs N forwards per walker). Set
+    ``marshall`` to match the Hamiltonian's basis (see
+    spin_spin_connected). The isotropic Heisenberg result is 3x the SzSz
+    correlation only in SU(2)-symmetric states — measuring both is the
+    standard check.
+    """
+    m, n = s.shape
+    if int(displacement) == 0:
+        c = jnp.asarray(0.75)
+        return C(pmean(c, axis_name) * jnp.ones(()), jnp.zeros(()))
+    sz = s.reshape(m, *lattice.shape) / 2.0
+    axes = tuple(range(1, 1 + lattice.ndim))
+    shift = tuple(int(c) for c in lattice.coords[displacement])
+    diag = (sz * jnp.roll(sz, shift, axis=axes)).reshape(m, -1).mean()
+    off = offdiag_observable(
+        log_psi_fn, params, s, log_psi,
+        spin_spin_connected(lattice, displacement, marshall=marshall),
+        axis_name=axis_name)
+    return C(pmean(diag, axis_name) + off.re, off.im)
+
+
 def offdiag_observable(log_psi_fn, params, s: Array, log_psi: C,
                        connected_fn, axis_name: Optional[str] = None) -> C:
     """<O> for an off-diagonal operator given its connected decomposition.

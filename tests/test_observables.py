@@ -74,3 +74,64 @@ def test_offdiag_observable_matches_energy_machinery():
     e = local_energy(log_psi_fn, v, ham, s, lp)
     want_re = float((np.asarray(e.re) - np.asarray(ham.diag_batch(s))).mean())
     np.testing.assert_allclose(float(got.re), want_re, rtol=1e-5)
+
+
+def test_spin_spin_correlation_vs_dense_expectation():
+    """Full C(r) = (1/N) sum_i <S_i . S_{i+r}>: the MC estimator, averaged
+    with exact |psi|^2 weights over ALL configurations, must equal the
+    dense-matrix expectation <psi|O_r|psi>/<psi|psi> (no MC noise)."""
+    n = 6
+    lat = chain(n)
+    model = LogPsiCNN(lattice_shape=(n,), channels=(3,), param_scale=0.3)
+    v = model.init(jax.random.key(3), jnp.ones((1, n), jnp.float32))
+
+    def log_psi_fn(p, s):
+        return log_psi_apply(model, p, s)
+
+    configs = jnp.asarray(exact.all_configs(n))
+    lp = log_psi_fn(v, configs)
+    logw = 2.0 * np.asarray(lp.re)
+    w = np.exp(logw - logw.max())
+    w /= w.sum()
+    psi = np.exp(np.asarray(lp.re) - np.asarray(lp.re).max())
+    shape = np.asarray(lat.shape)
+    for r in [1, 2, 3]:
+        got = observables.spin_spin_correlation(
+            log_psi_fn, v, configs, lp, lat, r)
+        # importance-correct the uniform-batch mean: feed single configs and
+        # reweight by |psi|^2 (enumerated batch => exact expectation)
+        o_loc = np.array([
+            float(observables.spin_spin_correlation(
+                log_psi_fn, v, configs[k:k + 1], lp[k:k + 1], lat, r).re)
+            for k in range(configs.shape[0])
+        ])
+        weighted = float((w * o_loc).sum())
+        # dense oracle: O_r = (1/N) sum_i S_i . S_{i+r}
+        bonds = np.asarray(
+            [(i, int(np.ravel_multi_index(((lat.coords[i] + lat.coords[r])
+                                           % shape).T, lat.shape)))
+             for i in range(n)])
+        dense = np.asarray(exact.sparse_heisenberg(n, bonds).todense()) / n
+        want = float(psi @ dense @ psi) / float(psi @ psi)
+        np.testing.assert_allclose(weighted, want, rtol=1e-5, atol=1e-6)
+        # sanity: the uniform-batch estimator is finite and real
+        assert np.isfinite(float(got.re))
+        np.testing.assert_allclose(float(got.im), 0.0, atol=1e-5)
+
+        # Marshall basis: estimator(marshall=True) with the SAME psi must
+        # equal the expectation of the ROTATED operator D O D, where
+        # D = diag((-1)^{# up-spins on sublattice A}) — i.e. psi is read as
+        # the rotated wavefunction (catches the sublattice sign convention)
+        o_loc_m = np.array([
+            float(observables.spin_spin_correlation(
+                log_psi_fn, v, configs[k:k + 1], lp[k:k + 1], lat, r,
+                marshall=True).re)
+            for k in range(configs.shape[0])
+        ])
+        sub = np.asarray(lat.sublattice_mask).astype(bool)
+        s_np_full = np.asarray(configs)
+        d = (-1.0) ** ((s_np_full[:, sub] > 0).sum(axis=1))
+        dense_rot = dense * np.outer(d, d)
+        want_m = float(psi @ dense_rot @ psi) / float(psi @ psi)
+        np.testing.assert_allclose(float((w * o_loc_m).sum()), want_m,
+                                   rtol=1e-5, atol=1e-6)
