@@ -161,3 +161,43 @@ def test_run_steps_matches_stepwise(eight_devices):
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(ms.energy_re), singles, rtol=1e-5)
     assert int(fused.step) == 4
+
+
+def test_sharded_gcnn_matches_single_device(eight_devices):
+    """GCNN under shard_map: the trace-time kernel-expansion gathers must
+    behave identically inside the mesh-sharded step (walker-for-walker)."""
+    from qmcnn_tpu.lattice import square
+    from qmcnn_tpu.models.gcnn import LogPsiGCNN
+
+    lat = square(4, 4)
+    ham = Heisenberg(lat)
+    model = LogPsiGCNN(lattice_shape=(4, 4), channels=(2, 2),
+                       complex_params=True, param_scale=0.1)
+
+    def log_psi_fn(p, s):
+        return log_psi_apply(model, p, s)
+
+    params = model.init(jax.random.key(0), jnp.ones((1, 16), jnp.float32))
+
+    def make(axis_name):
+        sampler = MetropolisSampler(log_psi_fn, n_sites=16, move="exchange",
+                                    bonds=lat.nn_bonds)
+        return VMC(log_psi_fn=log_psi_fn, ham=ham, sampler=sampler,
+                   optimizer=optax.sgd(0.02), n_sweeps=1,
+                   axis_name=axis_name)
+
+    mesh = walker_mesh(8)
+    vmc1, vmc8 = make(None), make("dp")
+    state1 = vmc1.init_state(jax.random.key(1), M, params)
+    sharded = make_sharded_vmc(vmc8, mesh, state1)
+    state8 = sharded.init_state(jax.random.key(1), M, params)
+    for it in range(2):
+        key = jax.random.fold_in(jax.random.key(9), it)
+        state1, m1 = jax.jit(vmc1.step)(state1, key, jnp.arange(M))
+        state8, m8 = sharded.step(state8, key)
+        np.testing.assert_array_equal(np.asarray(state1.walkers.s),
+                                      np.asarray(state8.walkers.s))
+        np.testing.assert_allclose(float(m1.energy_re), float(m8.energy_re),
+                                   rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(flat(state1.params), flat(state8.params),
+                                   rtol=2e-4, atol=2e-6)
