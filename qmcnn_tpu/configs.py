@@ -109,7 +109,9 @@ class RunConfig:
     n_steps: int = 1000
     seed: int = 0
     #: training steps fused into one device dispatch (lax.scan over steps);
-    #: amortizes host round trips (~30ms each on the TPU tunnel)
+    #: amortizes host round trips (~30ms each on the TPU tunnel). Keep
+    #: steps_per_dispatch x per-step time under ~60s — the tunneled TPU
+    #: kills longer single dispatches with an UNAVAILABLE device error
     steps_per_dispatch: int = 10
     log_every: int = 10
     csv_path: Optional[str] = None
