@@ -122,6 +122,10 @@ class RunConfig:
     n_devices: Optional[int] = None  # None = all visible devices
     chunk_size: Optional[int] = None  # local-energy walker chunking
     validate_against_ed: bool = True  # only runs when n_sites <= 20
+    #: wrap the train step in jax.experimental.checkify (utils/debug.py):
+    #: OOB indices / NaN / Inf raise instead of being silently clamped.
+    #: Debugging aid — instruments every indexing op, so keep off for speed.
+    checkify: bool = False
 
 
 @dataclass(frozen=True)

@@ -68,11 +68,25 @@ def train(cfg, ckpt_manager=None, logger=None):
     e_exact = exact_reference_energy(cfg)
     sweeps_per_step = cfg.sampler.n_sweeps_per_step
     base_key = jax.random.fold_in(key, 2)  # per-step keys derived on device
+
+    run_steps = sharded.run_steps
+    if cfg.run.checkify:
+        from qmcnn_tpu.utils.debug import checked
+
+        _checked_cache = {}
+
+        def run_steps(state, key, n_steps):  # noqa: F811
+            fn = _checked_cache.get(n_steps)
+            if fn is None:
+                fn = checked(lambda s, k: sharded.run_steps(s, k, n_steps))
+                _checked_cache[n_steps] = fn
+            return fn(state, key)
+
     it = start_step
     while it < cfg.run.n_steps:
         chunk = min(cfg.run.steps_per_dispatch, cfg.run.n_steps - it)
         t0 = time.perf_counter()
-        state, metrics = sharded.run_steps(state, base_key, chunk)
+        state, metrics = run_steps(state, base_key, chunk)
         jax.block_until_ready(metrics.energy_re)
         dt = (time.perf_counter() - t0) / chunk
         e_re = np.asarray(metrics.energy_re)
