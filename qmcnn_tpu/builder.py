@@ -69,6 +69,8 @@ def build_model(cfg: Config, lattice: Lattice):
             complex_params=m.complex_params,
             param_scale=m.param_scale,
             character=m.gcnn_character,
+            init_mode=m.init_mode,
+            activation=m.activation,
         )
         return _maybe_spin_flip(inner, m)
     if m.kind != "cnn":
@@ -82,6 +84,8 @@ def build_model(cfg: Config, lattice: Lattice):
         conv_impl=m.conv_impl,
         pbc=lattice.pbc,
         compute_dtype=m.compute_dtype,
+        init_mode=m.init_mode,
+        activation=m.activation,
     )
     if m.translation_average:
         inner = TranslationAveraged(inner=inner,

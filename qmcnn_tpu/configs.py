@@ -28,6 +28,15 @@ class ModelConfig:
     kernel_size: int = 3
     complex_params: bool = False
     param_scale: float = 0.05
+    #: activation after each conv: 'lncosh' (reference-style) or 'selu'
+    #: (re/im-wise, self-normalizing; required for deep stacks — measured:
+    #: depth-6 lncosh collapses at any fixed init scale)
+    activation: str = "lncosh"
+    #: kernel init: 'fixed' (std = param_scale; reference-style, fine for
+    #: <= 3 conv layers) or 'fan_in' (variance-preserving LeCun scaling with
+    #: param_scale as the gain, ~1.0 — REQUIRED for deep stacks: lncosh is
+    #: quadratic near zero, so fixed-std signals collapse/NaN with depth)
+    init_mode: str = "fixed"
     #: explicit zero-momentum projection (logmeanexp over translations);
     #: the spatial-sum CNN is already invariant, so keep False unless the
     #: reference's explicit averaging is wanted (costs n_sites forwards).

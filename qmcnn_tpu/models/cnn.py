@@ -185,6 +185,29 @@ def apply_conv(x: Array, w: Array, lattice_shape: Tuple[int, ...],
     raise ValueError(f"unknown conv impl {impl!r}")
 
 
+def kernel_std(init_mode: str, param_scale: float, fan_in: int,
+               n_parts: int = 1) -> float:
+    """Per-part normal() std for a conv kernel.
+
+    ``fixed``: std = param_scale, depth-agnostic (the reference genre's
+    choice; fine for <= 3-layer stacks, collapses or explodes deeper
+    because lncosh is *quadratic* near 0 — an under-scaled signal shrinks
+    double-exponentially with depth, an over-scaled one saturates to NaN).
+
+    ``fan_in``: std = param_scale / sqrt(n_parts * fan_in) — variance-
+    preserving (LeCun-style): pre-activation variance ~= param_scale^2 x
+    input variance at every depth, with param_scale acting as the gain
+    (~1 keeps a deep lncosh stack in its responsive region; measured in
+    tests/test_ansatz.py::test_deep_fan_in_init_healthy). ``n_parts=2``
+    for complex kernels — re and im parts both feed |psi|.
+    """
+    if init_mode == "fixed":
+        return param_scale
+    if init_mode == "fan_in":
+        return param_scale / float(np.sqrt(n_parts * fan_in))
+    raise ValueError(f"unknown init_mode {init_mode!r}")
+
+
 class ComplexConv(nn.Module):
     """Circular complex convolution; weights = (kernel_re, kernel_im) leaves.
 
@@ -201,14 +224,20 @@ class ComplexConv(nn.Module):
     conv_impl: str = "auto"
     pbc: bool = True
     compute_dtype: str = "float32"
+    init_mode: str = "fixed"
+    init_extra_scale: float = 1.0
 
     @nn.compact
     def __call__(self, z) -> C:
         in_features = (z.re if isinstance(z, C) else z).shape[-1]
         shape = (*self.kernel_size, in_features, self.features)
-        a = self.param("kernel_re", nn.initializers.normal(self.param_scale),
+        std = self.init_extra_scale * kernel_std(
+            self.init_mode, self.param_scale,
+            fan_in=int(np.prod(self.kernel_size)) * in_features,
+            n_parts=2)
+        a = self.param("kernel_re", nn.initializers.normal(std),
                        shape, jnp.float32)
-        b = self.param("kernel_im", nn.initializers.normal(self.param_scale),
+        b = self.param("kernel_im", nn.initializers.normal(std),
                        shape, jnp.float32)
         conv = lambda x, w: apply_conv(
             x, w, self.lattice_shape, self.conv_impl, pbc=self.pbc,
@@ -240,11 +269,16 @@ class RealConv(nn.Module):
     conv_impl: str = "auto"
     pbc: bool = True
     compute_dtype: str = "float32"
+    init_mode: str = "fixed"
+    init_extra_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_features = x.shape[-1]
-        w = self.param("kernel", nn.initializers.normal(self.param_scale),
+        std = self.init_extra_scale * kernel_std(
+            self.init_mode, self.param_scale,
+            fan_in=int(np.prod(self.kernel_size)) * in_features)
+        w = self.param("kernel", nn.initializers.normal(std),
                        (*self.kernel_size, in_features, self.features),
                        jnp.float32)
         out = apply_conv(x, w, self.lattice_shape, self.conv_impl,
@@ -278,32 +312,52 @@ class LogPsiCNN(nn.Module):
     pbc: bool = True
     #: 'float32' or 'bfloat16' conv operands (f32 accumulation either way)
     compute_dtype: str = "float32"
+    #: 'fixed' (std = param_scale) or 'fan_in' (variance-preserving,
+    #: param_scale = gain) — see kernel_std; use fan_in for deep stacks
+    init_mode: str = "fixed"
+    #: 'lncosh' (reference-style) or 'selu' (re/im-wise, self-normalizing —
+    #: pair with init_mode='fan_in' for deep stacks; see cplx.selu_reim)
+    activation: str = "lncosh"
 
     @nn.compact
     def __call__(self, s: Array) -> C:
         batch = s.shape[0]
+        act_c, act_r = cplx.ACTIVATIONS[self.activation]
         ksz = self.kernel_size
         if isinstance(ksz, int):
             ksz = (ksz,) * len(self.lattice_shape)
         ksz = tuple(min(k, L) for k, L in zip(ksz, self.lattice_shape))
         x = s.reshape(batch, *self.lattice_shape, 1).astype(jnp.float32)
+
+        def final_extra(i, c):
+            # shrink the last layer under fan_in so the spatial-sum readout
+            # starts near-uniform (see LogPsiGCNN for the measured rationale)
+            if self.init_mode == "fan_in" and i == len(self.channels) - 1:
+                return 0.1 / float(np.sqrt(
+                    np.prod(self.lattice_shape) * c))
+            return 1.0
+
         if self.complex_params:
-            for c in self.channels:
+            for i, c in enumerate(self.channels):
                 x = ComplexConv(features=c, kernel_size=ksz,
                                 lattice_shape=tuple(self.lattice_shape),
                                 param_scale=self.param_scale,
                                 conv_impl=self.conv_impl, pbc=self.pbc,
-                                compute_dtype=self.compute_dtype)(x)
-                x = cplx.lncosh(x)
+                                compute_dtype=self.compute_dtype,
+                                init_mode=self.init_mode,
+                                init_extra_scale=final_extra(i, c))(x)
+                x = act_c(x)
             return C(x.re.reshape(batch, -1).sum(-1),
                      x.im.reshape(batch, -1).sum(-1))
-        for c in self.channels:
+        for i, c in enumerate(self.channels):
             x = RealConv(features=c, kernel_size=ksz,
                          lattice_shape=tuple(self.lattice_shape),
                          param_scale=self.param_scale,
                          conv_impl=self.conv_impl, pbc=self.pbc,
-                         compute_dtype=self.compute_dtype)(x)
-            x = cplx.lncosh_real(x)
+                         compute_dtype=self.compute_dtype,
+                         init_mode=self.init_mode,
+                         init_extra_scale=final_extra(i, c))(x)
+            x = act_r(x)
         out = x.reshape(batch, -1).sum(-1)
         return C(out, jnp.zeros_like(out))
 

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qmcnn_tpu.models.cnn import _circular_pad, _real_conv
+from qmcnn_tpu.models.cnn import _circular_pad, _real_conv, kernel_std
 from qmcnn_tpu.ops import cplx
 from qmcnn_tpu.ops.cplx import C
 
@@ -167,6 +167,10 @@ class GroupConv(nn.Module):
     complex_params: bool = False
     param_scale: float = 0.05
     use_bias: bool = True
+    init_mode: str = "fixed"
+    #: extra multiplier on the init std (the log-psi stacks shrink the FINAL
+    #: layer's init so the post-readout log-amplitude starts near-uniform)
+    init_extra_scale: float = 1.0
 
     @nn.compact
     def __call__(self, z):
@@ -177,11 +181,16 @@ class GroupConv(nn.Module):
             cin = x0.shape[-1]
             shape = (k, k, cin, self.features)
             expand = lambda w: _lift_kernel(w, tap_perm, k)
+            fan_in = k * k * cin
         else:
             cin = x0.shape[-1] // G
             shape = (G, k, k, cin, self.features)
             expand = lambda w: _group_kernel(w, elem_idx, tap_perm, k)
-        init = nn.initializers.normal(self.param_scale)
+            # each output unit sums over all G input group elements
+            fan_in = k * k * G * cin
+        init = nn.initializers.normal(self.init_extra_scale * kernel_std(
+            self.init_mode, self.param_scale, fan_in,
+            n_parts=2 if self.complex_params else 1))
         a = expand(self.param("kernel_re", init, shape, jnp.float32))
         if self.complex_params:
             b = expand(self.param("kernel_im", init, shape, jnp.float32))
@@ -234,6 +243,15 @@ class LogPsiGCNN(nn.Module):
     complex_params: bool = False
     param_scale: float = 0.05
     character: str = "A1"
+    #: 'fixed' or 'fan_in' (variance-preserving; param_scale = gain).
+    #: Deep stacks (>= 4 layers) NEED fan_in: lncosh is quadratic near 0,
+    #: so fixed-std init collapses (or NaNs) double-exponentially in depth.
+    init_mode: str = "fixed"
+    #: 'lncosh' or 'selu' (re/im-wise; pair with fan_in for deep stacks —
+    #: measured: depth-6 lncosh has no stable init scale at all, collapsing
+    #: at gain<=1.0 and NaN-ing at gain>=1.5, while selu+fan_in holds
+    #: unit-scale signals; see cplx.selu_reim)
+    activation: str = "lncosh"
 
     @nn.compact
     def __call__(self, s: Array) -> C:
@@ -247,14 +265,26 @@ class LogPsiGCNN(nn.Module):
             k -= 1
         G, _, _, _, chars, _ = c4v_tables(k)
         batch = s.shape[0]
+        act_c, act_r = cplx.ACTIVATIONS[self.activation]
         x = s.reshape(batch, *self.lattice_shape, 1).astype(jnp.float32)
         z = x
+        n_layers = len(self.channels)
         for i, c in enumerate(self.channels):
+            extra = 1.0
+            if self.init_mode == "fan_in" and i == n_layers - 1:
+                # shrink the last layer so the H*W*G*C readout sum starts
+                # near-uniform (|log psi| ~ 0.1): O(1) self-normalized
+                # features would otherwise give |log psi| ~ sqrt(terms),
+                # i.e. e^{+-10} amplitude ratios, blown-up local energies
+                # and ~0 acceptance at init (measured, BASELINE.md).
+                terms = float(np.prod(self.lattice_shape)) * G * c
+                extra = 0.1 / np.sqrt(terms)
             z = GroupConv(features=c, kernel_size=k, lift=(i == 0),
                           complex_params=self.complex_params,
-                          param_scale=self.param_scale)(z)
-            z = (cplx.lncosh(z) if isinstance(z, C)
-                 else cplx.lncosh_real(z))
+                          param_scale=self.param_scale,
+                          init_mode=self.init_mode,
+                          init_extra_scale=extra)(z)
+            z = act_c(z) if isinstance(z, C) else act_r(z)
         # [B, H, W, G*C] -> per-element sums S_g: sum over space and C
         c_last = self.channels[-1]
         sums = lambda t: t.reshape(batch, -1, G, c_last).sum((1, 3))

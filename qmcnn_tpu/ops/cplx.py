@@ -140,6 +140,29 @@ def lncosh_real(x: Array) -> Array:
     return t - 0.6931471805599453 + jnp.log1p(jnp.exp(-2.0 * t))
 
 
+def selu_reim(z: C) -> C:
+    """SELU on re and im separately (non-holomorphic, like the deep-GCNN
+    NQS literature's 'reim' activations). Unlike lncosh — which is
+    *quadratic* at 0, so deep stacks collapse or blow up at init for any
+    fixed weight scale — SELU has slope ~1.05 at 0 and is self-normalizing:
+    with fan_in init a 6+-layer stack keeps unit-scale signals. Symmetry
+    note: elementwise on (re, im), so GCNN space-group equivariance and the
+    character projection are untouched."""
+    return C(jax.nn.selu(z.re), jax.nn.selu(z.im))
+
+
+def selu_real(x: Array) -> Array:
+    return jax.nn.selu(x)
+
+
+#: activation registry used by the model builders: name -> (complex fn C->C,
+#: real fn Array->Array)
+ACTIVATIONS = {
+    "lncosh": (lncosh, lncosh_real),
+    "selu": (selu_reim, selu_real),
+}
+
+
 def logmeanexp(z: C, axis: int = 0) -> C:
     """log(mean(exp(z))) along axis, stabilized by max Re."""
     m = jax.lax.stop_gradient(jnp.max(z.re, axis=axis, keepdims=True))

@@ -259,3 +259,36 @@ def test_point_group_averaging():
     b1 = inner.apply({"params": v["params"]["inner"]},
                      jnp.asarray(np.rot90(grid, 1, (1, 2)).reshape(5, 16).copy()))
     assert not np.allclose(np.asarray(b0.re), np.asarray(b1.re), rtol=1e-4)
+
+
+def test_deep_fan_in_selu_init_healthy():
+    """Deep stacks need init_mode='fan_in' + activation='selu': measured
+    (BASELINE.md r1), a 6-layer lncosh GCNN has NO workable fixed init std
+    (collapse at <=1.0, NaN at >=1.5). This guards the working recipe: at
+    init the log-amplitude spread must be sane (not collapsed to ~0, not
+    e^{+-10} rough) for both deep model families."""
+    import jax
+    import jax.numpy as jnp
+    from qmcnn_tpu.models.cnn import LogPsiCNN, log_psi_apply
+    from qmcnn_tpu.models.gcnn import LogPsiGCNN
+
+    key = jax.random.key(0)
+    s = (2.0 * jax.random.bernoulli(key, 0.5, (64, 16)) - 1.0).astype(
+        jnp.float32)
+
+    for model in (
+        LogPsiGCNN(lattice_shape=(4, 4), channels=(8,) * 6,
+                   complex_params=True, param_scale=1.0,
+                   init_mode="fan_in", activation="selu"),
+        LogPsiCNN(lattice_shape=(4, 4), channels=(8,) * 6,
+                  complex_params=True, param_scale=1.0,
+                  init_mode="fan_in", activation="selu"),
+    ):
+        params = model.init(jax.random.key(1), s[:1])
+        out = log_psi_apply(model, params, s)
+        spread = float(jnp.std(out.re))
+        assert jnp.all(jnp.isfinite(out.re)) and jnp.all(
+            jnp.isfinite(out.im)), type(model).__name__
+        assert 1e-3 < spread < 3.0, (
+            f"{type(model).__name__}: init log-psi spread {spread} outside "
+            "the trainable window")
