@@ -135,6 +135,15 @@ class RunConfig:
     #: OOB indices / NaN / Inf raise instead of being silently clamped.
     #: Debugging aid — instruments every indexing op, so keep off for speed.
     checkify: bool = False
+    #: warm-start: checkpoint directory to transfer params from before
+    #: training (conv kernels are lattice-size-agnostic, so a converged
+    #: small-lattice state initializes a larger lattice — the standard NQS
+    #: scaling trick). Leaves are copied where (path, shape) match the
+    #: fresh init; the rest stay freshly initialized. Ignored when resuming
+    #: from this run's own ckpt_dir. See utils/transfer.py.
+    init_from: Optional[str] = None
+    #: which step to read from init_from (None = latest)
+    init_from_step: Optional[int] = None
 
 
 @dataclass(frozen=True)

@@ -53,11 +53,19 @@ def train(cfg, ckpt_manager=None, logger=None):
                                      print_every=cfg.run.log_every,
                                      tensorboard_dir=cfg.run.tensorboard_dir)
 
+    resuming = (ckpt_manager is not None
+                and ckpt_manager.latest_step() is not None)
+    if cfg.run.init_from and not resuming:
+        from qmcnn_tpu.utils.transfer import warm_start
+
+        params = warm_start(params, cfg.run.init_from,
+                            step=cfg.run.init_from_step)
+
     key = jax.random.key(cfg.run.seed + 100)
     state = sharded.init_state(jax.random.fold_in(key, 0), m, params)
 
     start_step = 0
-    if ckpt_manager is not None and ckpt_manager.latest_step() is not None:
+    if resuming:
         state = ckpt_manager.restore(state)
         start_step = int(state.step)
         print(f"resumed from checkpoint at step {start_step}")

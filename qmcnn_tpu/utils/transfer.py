@@ -1,0 +1,107 @@
+"""Warm-start parameter transfer between experiments (run.init_from).
+
+The conv kernels of every model family here (CNN, GCNN, RBM dense weights
+excepted) are lattice-size-agnostic: a kernel of shape (k, k, c_in, c_out)
+is the same object on an 8x8 and a 10x10 lattice. That makes the standard
+NQS scaling trick available — converge on a small lattice, then initialize
+the larger-lattice run from that state (transfer learning across system
+sizes; the sampler re-thermalizes, the optimizer restarts).
+
+The transfer is by flattened key-path + shape match against the fresh
+init: leaves found in the source checkpoint with identical shape are
+copied, everything else (e.g. extra layers of a deeper target net) keeps
+its fresh initialization. Mismatches are reported, never fatal.
+
+Reference parity note: the CPU reference (SURVEY.md R13) only had
+framework-native param save/restore; cross-experiment transfer is part of
+this framework's checkpoint layer (SURVEY.md section 5, checkpoint/resume).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+import orbax.checkpoint as ocp
+
+
+def _key_str(k) -> str:
+    if isinstance(k, jax.tree_util.DictKey):
+        return str(k.key)
+    if isinstance(k, jax.tree_util.GetAttrKey):
+        return k.name
+    if isinstance(k, jax.tree_util.SequenceKey):
+        return str(k.idx)
+    return str(k)
+
+
+def _flatten(tree) -> dict:
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {"/".join(_key_str(k) for k in path): leaf
+            for path, leaf in leaves}
+
+
+def load_checkpoint_params(directory: str, step: Optional[int] = None) -> Any:
+    """Read the ``params`` subtree of a saved TrainState as host arrays.
+
+    Restores without an abstract template (pure nested containers), so it
+    works across configs whose TrainState structures differ — only the
+    params subtree is returned.
+    """
+    directory = os.path.abspath(directory)
+    options = ocp.CheckpointManagerOptions(create=False)
+    mgr = ocp.CheckpointManager(directory, options=options)
+    try:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {directory}")
+        raw = mgr.restore(step)
+    finally:
+        mgr.close()
+    # TrainState is a NamedTuple; StandardRestore without a template yields
+    # nested dicts/lists — accept either container form.
+    if isinstance(raw, dict) and "params" in raw:
+        return raw["params"]
+    if hasattr(raw, "params"):
+        return raw.params
+    if isinstance(raw, (list, tuple)):  # positional: params is field 0
+        return raw[0]
+    raise ValueError(
+        f"unrecognized checkpoint structure in {directory}: {type(raw)}")
+
+
+def transfer_params(fresh: Any, source: Any) -> Tuple[Any, int, int]:
+    """Copy leaves of ``source`` into ``fresh`` where key-path and shape
+    match. Returns (merged pytree with fresh's structure, n_copied,
+    n_kept_fresh)."""
+    src = _flatten(source)
+    copied = [0, 0]
+
+    def pick(path, leaf):
+        key = "/".join(_key_str(k) for k in path)
+        cand = src.get(key)
+        if cand is not None and np.shape(cand) == np.shape(leaf):
+            copied[0] += 1
+            return np.asarray(cand).astype(np.asarray(leaf).dtype)
+        copied[1] += 1
+        return leaf
+
+    merged = jax.tree_util.tree_map_with_path(pick, fresh)
+    return merged, copied[0], copied[1]
+
+
+def warm_start(fresh_params: Any, directory: str,
+               step: Optional[int] = None) -> Any:
+    """Load + transfer, with a one-line report."""
+    source = load_checkpoint_params(directory, step)
+    merged, n_copied, n_fresh = transfer_params(fresh_params, source)
+    print(f"warm-start from {directory}: {n_copied} param leaves "
+          f"transferred, {n_fresh} kept at fresh init")
+    if n_copied == 0:
+        raise ValueError(
+            f"warm-start from {directory} matched no parameters — wrong "
+            "model family/width? (transfer matches on key-path + shape)")
+    return merged

@@ -201,3 +201,59 @@ sampler: {n_walkers: 32, move: flip, n_therm_sweeps: 2}
         build(cfglib.apply_overrides(cfg, ["model.kind=bogus"]))
     with pytest.raises(ValueError):
         build(cfglib.apply_overrides(cfg, ["lattice.pbc=false"]))
+
+
+def test_warm_start_transfer_across_lattice_sizes(tmp_path):
+    """run.init_from transfers conv params from a smaller-lattice
+    checkpoint (kernels are lattice-size-agnostic); extra layers of a
+    deeper target keep fresh init; wrong-family transfer raises."""
+    import jax
+    from qmcnn_tpu.train import train
+    from qmcnn_tpu.utils.checkpoint import CheckpointManager
+    from qmcnn_tpu.utils.transfer import warm_start
+
+    src_yaml = f"""
+name: warmsrc
+lattice: {{shape: [4, 4]}}
+model: {{kind: gcnn, channels: [3, 3], kernel_size: 3, complex_params: true}}
+hamiltonian: {{kind: heisenberg, marshall: true}}
+sampler: {{n_walkers: 32, move: exchange, n_therm_sweeps: 2}}
+optimizer: {{kind: sgd, lr: 0.05}}
+run: {{n_steps: 2, log_every: 1, ckpt_every: 2, validate_against_ed: false}}
+"""
+    cfg = cfglib.from_yaml(src_yaml)
+    ck = CheckpointManager(str(tmp_path / "src_ck"), keep=1)
+    state_src, _ = train(cfg, ckpt_manager=ck)
+    ck.close()
+
+    # same family/width on a LARGER lattice: every leaf must transfer
+    cfg_big = cfglib.apply_overrides(
+        cfg, ["lattice.shape=[6,6]", f"run.init_from={tmp_path}/src_ck",
+              "run.n_steps=1"])
+    from qmcnn_tpu.builder import build_sharded
+    _, fresh, _ = build_sharded(cfg_big)
+    merged = warm_start(fresh, str(tmp_path / "src_ck"))
+    src_flat = jax.tree_util.tree_leaves(state_src.params)
+    mrg_flat = jax.tree_util.tree_leaves(merged)
+    assert len(src_flat) == len(mrg_flat)
+    for a, b in zip(src_flat, mrg_flat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the warm-started train run goes end-to-end
+    state_big, _ = train(cfg_big)
+    assert int(state_big.step) == 1
+
+    # deeper target: first layers transfer, the extra layer stays fresh
+    cfg_deep = cfglib.apply_overrides(
+        cfg, ["model.channels=[3,3,3]", "run.n_steps=1"])
+    _, fresh_deep, _ = build_sharded(cfg_deep)
+    from qmcnn_tpu.utils.transfer import transfer_params, \
+        load_checkpoint_params
+    src_params = load_checkpoint_params(str(tmp_path / "src_ck"))
+    merged_deep, n_copied, n_fresh = transfer_params(fresh_deep, src_params)
+    assert n_copied > 0 and n_fresh > 0
+
+    # disjoint family: nothing matches -> loud error
+    cfg_rbm = cfglib.apply_overrides(cfg, ["model.kind=rbm"])
+    _, fresh_rbm, _ = build_sharded(cfg_rbm)
+    with pytest.raises(ValueError, match="matched no parameters"):
+        warm_start(fresh_rbm, str(tmp_path / "src_ck"))
