@@ -71,6 +71,7 @@ def build_model(cfg: Config, lattice: Lattice):
             character=m.gcnn_character,
             init_mode=m.init_mode,
             activation=m.activation,
+            residual=m.residual,
         )
         return _maybe_spin_flip(inner, m)
     if m.kind != "cnn":
@@ -86,6 +87,7 @@ def build_model(cfg: Config, lattice: Lattice):
         compute_dtype=m.compute_dtype,
         init_mode=m.init_mode,
         activation=m.activation,
+        residual=m.residual,
     )
     if m.translation_average:
         inner = TranslationAveraged(inner=inner,

@@ -37,6 +37,9 @@ class ModelConfig:
     #: param_scale as the gain, ~1.0 — REQUIRED for deep stacks: lncosh is
     #: quadratic near zero, so fixed-std signals collapse/NaN with depth)
     init_mode: str = "fixed"
+    #: identity skips on interior equal-width layers (deep stacks; see
+    #: models/gcnn.py LogPsiGCNN.residual for why first/last are excluded)
+    residual: bool = False
     #: explicit zero-momentum projection (logmeanexp over translations);
     #: the spatial-sum CNN is already invariant, so keep False unless the
     #: reference's explicit averaging is wanted (costs n_sites forwards).

@@ -318,6 +318,10 @@ class LogPsiCNN(nn.Module):
     #: 'lncosh' (reference-style) or 'selu' (re/im-wise, self-normalizing —
     #: pair with init_mode='fan_in' for deep stacks; see cplx.selu_reim)
     activation: str = "lncosh"
+    #: identity skips x <- act(conv(x)) + x on interior layers with matching
+    #: channel counts (never the first — shape change — nor the last layer,
+    #: whose shrunk init a skip would bypass; see LogPsiGCNN.residual)
+    residual: bool = False
 
     @nn.compact
     def __call__(self, s: Array) -> C:
@@ -337,8 +341,13 @@ class LogPsiCNN(nn.Module):
                     np.prod(self.lattice_shape) * c))
             return 1.0
 
+        def skip(i, c):
+            return (self.residual and 0 < i < len(self.channels) - 1
+                    and c == self.channels[i - 1])
+
         if self.complex_params:
             for i, c in enumerate(self.channels):
+                x_in = x
                 x = ComplexConv(features=c, kernel_size=ksz,
                                 lattice_shape=tuple(self.lattice_shape),
                                 param_scale=self.param_scale,
@@ -347,9 +356,12 @@ class LogPsiCNN(nn.Module):
                                 init_mode=self.init_mode,
                                 init_extra_scale=final_extra(i, c))(x)
                 x = act_c(x)
+                if skip(i, c):
+                    x = x + x_in
             return C(x.re.reshape(batch, -1).sum(-1),
                      x.im.reshape(batch, -1).sum(-1))
         for i, c in enumerate(self.channels):
+            x_in = x
             x = RealConv(features=c, kernel_size=ksz,
                          lattice_shape=tuple(self.lattice_shape),
                          param_scale=self.param_scale,
@@ -358,6 +370,8 @@ class LogPsiCNN(nn.Module):
                          init_mode=self.init_mode,
                          init_extra_scale=final_extra(i, c))(x)
             x = act_r(x)
+            if skip(i, c):
+                x = x + x_in
         out = x.reshape(batch, -1).sum(-1)
         return C(out, jnp.zeros_like(out))
 

@@ -252,6 +252,14 @@ class LogPsiGCNN(nn.Module):
     #: at gain<=1.0 and NaN-ing at gain>=1.5, while selu+fan_in holds
     #: unit-scale signals; see cplx.selu_reim)
     activation: str = "lncosh"
+    #: identity skips z <- act(conv(z)) + z on interior layers whose
+    #: channel count matches the previous layer (never the lift layer —
+    #: shape change — and never the LAST layer: its init is shrunk so the
+    #: readout sum starts near-uniform, and a skip would smuggle O(1)
+    #: features past the shrink, reviving the e^{+-10} init pathology).
+    #: Group-equivariance is preserved: the identity commutes with the
+    #: regular representation.
+    residual: bool = False
 
     @nn.compact
     def __call__(self, s: Array) -> C:
@@ -279,12 +287,16 @@ class LogPsiGCNN(nn.Module):
                 # and ~0 acceptance at init (measured, BASELINE.md).
                 terms = float(np.prod(self.lattice_shape)) * G * c
                 extra = 0.1 / np.sqrt(terms)
+            z_in = z
             z = GroupConv(features=c, kernel_size=k, lift=(i == 0),
                           complex_params=self.complex_params,
                           param_scale=self.param_scale,
                           init_mode=self.init_mode,
                           init_extra_scale=extra)(z)
             z = act_c(z) if isinstance(z, C) else act_r(z)
+            if (self.residual and 0 < i < n_layers - 1
+                    and c == self.channels[i - 1]):
+                z = z + z_in
         # [B, H, W, G*C] -> per-element sums S_g: sum over space and C
         c_last = self.channels[-1]
         sums = lambda t: t.reshape(batch, -1, G, c_last).sum((1, 3))

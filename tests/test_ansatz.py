@@ -283,6 +283,12 @@ def test_deep_fan_in_selu_init_healthy():
         LogPsiCNN(lattice_shape=(4, 4), channels=(8,) * 6,
                   complex_params=True, param_scale=1.0,
                   init_mode="fan_in", activation="selu"),
+        LogPsiGCNN(lattice_shape=(4, 4), channels=(8,) * 6,
+                   complex_params=True, param_scale=1.0,
+                   init_mode="fan_in", activation="selu", residual=True),
+        LogPsiCNN(lattice_shape=(4, 4), channels=(8,) * 6,
+                  complex_params=True, param_scale=1.0,
+                  init_mode="fan_in", activation="selu", residual=True),
     ):
         params = model.init(jax.random.key(1), s[:1])
         out = log_psi_apply(model, params, s)

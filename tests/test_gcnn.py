@@ -251,3 +251,42 @@ def test_gcnn_j1j2_4x4_training_converges():
     e_exact = exact.ground_energy(sp)
     rel = abs(e_vmc - e_exact) / abs(e_exact)
     assert rel < 3e-2, (e_vmc, e_exact, rel)
+
+
+def test_residual_gcnn_symmetry_and_init_health(spins):
+    """Residual skips must not break space-group invariance (identity
+    commutes with the regular representation) and the depth-8 residual
+    stack must stay in the trainable init window (finite, spread sane)."""
+    from qmcnn_tpu.models.cnn import log_psi_apply
+
+    m = LogPsiGCNN(lattice_shape=L, channels=(6,) * 8, kernel_size=3,
+                   complex_params=True, character="A1", param_scale=1.0,
+                   init_mode="fan_in", activation="selu", residual=True)
+    p = m.init(jax.random.key(0), spins)
+    base = cplx.as_c(m.apply(p, spins))
+    G, _, _, _, _, grid_ops = c4v_tables(3)
+    grid = spins.reshape(4, *L)
+    for g in range(G):
+        r, mm = (int(v) for v in grid_ops[g])
+        out = cplx.as_c(m.apply(p, grid_transform(grid, r, mm).reshape(4, -1)))
+        np.testing.assert_allclose(out.re, base.re, atol=2e-5)
+        assert _angle_dev(out.im, base.im) < 2e-5
+
+    many = (2.0 * jax.random.bernoulli(jax.random.key(3), 0.5,
+                                       (64, int(np.prod(L))))
+            - 1.0).astype(jnp.float32)
+    out = log_psi_apply(m, p, many)
+    assert jnp.all(jnp.isfinite(out.re)) and jnp.all(jnp.isfinite(out.im))
+    spread = float(jnp.std(out.re))
+    assert 1e-3 < spread < 3.0, spread
+
+    # a residual layer actually contributes (kernel grads flow through it)
+    def loss(params):
+        o = log_psi_apply(m, params, many)
+        return jnp.sum(o.re ** 2)
+
+    grads = jax.grad(loss)(p)
+    leaves = jax.tree_util.tree_flatten_with_path(grads)[0]
+    mid = [np.abs(np.asarray(v)).max() for path, v in leaves
+           if "GroupConv_4" in str(path)]
+    assert mid and max(mid) > 0.0
