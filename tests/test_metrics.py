@@ -47,3 +47,27 @@ def test_logger_csv_and_tail(tmp_path):
     import csv
     rows = list(csv.DictReader(open(path)))
     assert len(rows) == 20 and "energy_re" in rows[0]
+
+
+def test_analyze_cli(tmp_path, capsys):
+    """qmcnn_tpu.analyze reproduces the logger's tail estimate from CSV."""
+    import csv as csvmod
+    import numpy as np
+    from qmcnn_tpu.analyze import main
+
+    rng = np.random.default_rng(0)
+    path = tmp_path / "m.csv"
+    with open(path, "w", newline="") as f:
+        w = csvmod.DictWriter(f, fieldnames=["step", "energy_re", "accept"])
+        w.writeheader()
+        for i in range(200):
+            w.writerow({"step": i + 1,
+                        "energy_re": -10.0 + rng.normal(0, 0.1),
+                        "accept": 0.5})
+    r = main([str(path), "--tail", "0.5", "--n-sites", "4"])
+    assert r["rows"] == 200 and r["tail_rows"] == 100
+    assert abs(r["energy"] + 10.0) < 0.1
+    assert np.isfinite(r["energy_err"]) and r["energy_err"] > 0
+    assert abs(r["e_per_site"] + 2.5) < 0.05
+    out = capsys.readouterr().out
+    assert "e/site" in out and "accept" in out
