@@ -32,9 +32,10 @@ def build_hamiltonian(cfg: Config, lattice: Lattice):
     if h.kind == "tfim":
         return TFIM(lattice, j=h.j, h=h.h)
     if h.kind == "heisenberg":
-        return Heisenberg(lattice, j=h.j, marshall=h.marshall)
+        return Heisenberg(lattice, j=h.j, marshall=h.marshall, delta=h.delta)
     if h.kind == "j1j2":
-        return Heisenberg(lattice, j=h.j, j2=h.j2, marshall=h.marshall)
+        return Heisenberg(lattice, j=h.j, j2=h.j2, marshall=h.marshall,
+                          delta=h.delta)
     raise ValueError(f"unknown hamiltonian kind {h.kind!r}")
 
 

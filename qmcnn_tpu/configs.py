@@ -72,6 +72,9 @@ class HamiltonianConfig:
     h: float = 1.0      # TFIM transverse field
     j2: float = 0.0     # J1-J2 frustration (kind='j1j2')
     marshall: bool = True
+    #: XXZ anisotropy on Sz Sz (heisenberg/j1j2 kinds; 1.0 = isotropic,
+    #: 0.0 = XY model; scales only the diagonal term)
+    delta: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -51,10 +51,12 @@ def sparse_heisenberg(
     j: float = 1.0,
     nnn_bonds: np.ndarray | None = None,
     j2: float = 0.0,
+    delta: float = 1.0,
 ) -> sp.csr_matrix:
     """H = J sum_<ij> S_i . S_j (+ J2 over nnn bonds), spin-1/2 (S = sigma/2).
 
-    Per bond: (J/4) sz_i sz_j diagonal + (J/2) exchange of anti-aligned pairs.
+    Per bond: (delta J/4) sz_i sz_j diagonal + (J/2) exchange of
+    anti-aligned pairs; ``delta`` is the XXZ anisotropy (1 = isotropic).
     """
     dim = 1 << n
     s = _spins(n).astype(np.float64)
@@ -63,7 +65,7 @@ def sparse_heisenberg(
     def add_bonds(bond_list, coupling, rows, cols, vals, diag):
         for (a, b) in np.asarray(bond_list, dtype=np.int64):
             zz = s[:, a] * s[:, b]
-            diag += (coupling / 4.0) * zz
+            diag += (delta * coupling / 4.0) * zz
             anti = zz < 0
             flip = (1 << int(a)) | (1 << int(b))
             rows.append(states[anti])

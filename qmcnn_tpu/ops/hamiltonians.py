@@ -104,8 +104,12 @@ class TFIM(Hamiltonian):
 class Heisenberg(Hamiltonian):
     """Antiferromagnetic Heisenberg / J1-J2 model, spin-1/2 (S = sigma/2).
 
-    H = J sum_<ij> S_i.S_j + J2 sum_<<ij>> S_i.S_j
-      = sum_bonds [ (J_b/4) sz_i sz_j + (J_b/2) * exchange(anti-aligned) ].
+    H = J sum_<ij> [Sx Sx + Sy Sy + delta Sz Sz] + J2 sum_<<ij>> (same)
+      = sum_bonds [ (delta J_b/4) sz_i sz_j + (J_b/2) exchange(anti-aligned) ].
+
+    ``delta`` is the XXZ anisotropy (1 = isotropic Heisenberg; 0 = XY
+    model; >1 Ising-like easy-axis). It scales only the diagonal, so the
+    connected-state structure (and therefore K) is unchanged.
 
     With ``marshall=True`` the Marshall basis rotation is folded into the
     matrix elements (SURVEY.md R4a): off-diagonal elements connecting
@@ -121,6 +125,8 @@ class Heisenberg(Hamiltonian):
     j: float = 1.0
     j2: float = 0.0
     marshall: bool = True
+    #: XXZ anisotropy on the Sz Sz term (1.0 = isotropic)
+    delta: float = 1.0
 
     default_move = "exchange"
 
@@ -166,7 +172,7 @@ class Heisenberg(Hamiltonian):
 
     @cached_property
     def _diag_coupling(self) -> np.ndarray:
-        return self._couplings / 4.0
+        return self.delta * self._couplings / 4.0
 
     def diag(self, s: Array) -> Array:
         b = self._all_bonds

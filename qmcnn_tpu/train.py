@@ -34,11 +34,12 @@ def exact_reference_energy(cfg) -> Optional[float]:
     if h.kind == "tfim":
         sp = exact.sparse_tfim(lattice.n_sites, lattice.nn_bonds, j=h.j, h=h.h)
     elif h.kind == "heisenberg":
-        sp = exact.sparse_heisenberg(lattice.n_sites, lattice.nn_bonds, j=h.j)
+        sp = exact.sparse_heisenberg(lattice.n_sites, lattice.nn_bonds, j=h.j,
+                                     delta=h.delta)
     elif h.kind == "j1j2":
         sp = exact.sparse_heisenberg(lattice.n_sites, lattice.nn_bonds,
                                      j=h.j, nnn_bonds=lattice.nnn_bonds,
-                                     j2=h.j2)
+                                     j2=h.j2, delta=h.delta)
     else:
         return None
     return exact.ground_energy(sp)

@@ -142,3 +142,62 @@ def test_tfim_2d_matches_dense():
     got = exact.dense_from_hamiltonian(ham).real
     want = exact.sparse_tfim(lat.n_sites, lat.nn_bonds, j=1.0, h=1.3).toarray()
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def _kron_xxz(n, bonds, j=1.0, delta=1.0):
+    """Fully independent XXZ dense build: Kronecker products of spin-1/2
+    operators, H = J sum_b [Sx Sx + Sy Sy + delta Sz Sz]. Site-to-bit
+    convention must match ops/exact._spins (site i = bit i, LSB first)."""
+    sx = np.array([[0, 0.5], [0.5, 0]], dtype=complex)
+    sy = np.array([[0, -0.5j], [0.5j, 0]], dtype=complex)
+    sz = np.array([[0.5, 0], [0, -0.5]], dtype=complex)
+    eye = np.eye(2, dtype=complex)
+
+    def site_op(op, i):
+        # ops/exact encodes spin i in bit i of the state index with
+        # s_i = +1 when the bit is SET; index = sum_i bit_i 2^i. numpy kron
+        # puts the FIRST factor on the most significant axis, so site i
+        # must be placed at position n-1-i, and the basis order within a
+        # site must be (bit=1, bit=0) -> flip the 2x2 to match sz|1> = +.
+        flip = np.array([[0, 1], [1, 0]], dtype=complex)
+        o = flip @ op @ flip  # reorder basis (|0>,|1>) -> (|1>,|0>)
+        mats = [eye] * n
+        mats[n - 1 - i] = o
+        out = np.array([[1.0]], dtype=complex)
+        for m in mats:
+            out = np.kron(out, m)
+        return out
+
+    dim = 1 << n
+    h = np.zeros((dim, dim), dtype=complex)
+    for (a, b) in np.asarray(bonds):
+        h += j * (site_op(sx, a) @ site_op(sx, b)
+                  + site_op(sy, a) @ site_op(sy, b)
+                  + delta * (site_op(sz, a) @ site_op(sz, b)))
+    assert np.allclose(h.imag, 0.0, atol=1e-12)
+    return h.real
+
+
+@pytest.mark.parametrize("delta", [0.0, 0.6, 1.0, 1.8])
+def test_xxz_matches_independent_kron_dense(delta):
+    """XXZ anisotropy: both the jax connected()/diag() path and the
+    bit-twiddling ED builder must equal a fully independent Kronecker
+    construction of H = J sum [SxSx + SySy + delta SzSz]."""
+    lat = chain(6)
+    want = _kron_xxz(6, lat.nn_bonds, j=1.0, delta=delta)
+    ham = Heisenberg(lat, j=1.0, marshall=False, delta=delta)
+    got = exact.dense_from_hamiltonian(ham).real
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    got_sp = exact.sparse_heisenberg(lat.n_sites, lat.nn_bonds, j=1.0,
+                                     delta=delta).toarray()
+    np.testing.assert_allclose(got_sp, want, atol=1e-10)
+
+
+def test_xxz_marshall_spectrum_invariant():
+    lat = chain(6)
+    h_rot = exact.dense_from_hamiltonian(
+        Heisenberg(lat, j=1.0, marshall=True, delta=0.5)).real
+    h_plain = exact.dense_from_hamiltonian(
+        Heisenberg(lat, j=1.0, marshall=False, delta=0.5)).real
+    np.testing.assert_allclose(np.linalg.eigvalsh(h_rot),
+                               np.linalg.eigvalsh(h_plain), atol=1e-8)
