@@ -27,7 +27,8 @@ def exact_target(cfg):
         return e, "ED"
     h = cfg.hamiltonian
     shape = tuple(cfg.lattice.shape)
-    if h.kind == "heisenberg" and len(shape) == 1:
+    if h.kind == "heisenberg" and len(shape) == 1 and h.delta == 1.0:
+        # Bethe solver covers only the isotropic point
         from qmcnn_tpu.ops import bethe
 
         return bethe.ground_energy(shape[0], j=h.j), "Bethe"
