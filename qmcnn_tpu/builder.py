@@ -90,10 +90,14 @@ def build_model(cfg: Config, lattice: Lattice):
         activation=m.activation,
         residual=m.residual,
     )
+    if m.momentum and any(m.momentum) and not m.translation_average:
+        raise ValueError("model.momentum requires translation_average: "
+                         "true (the sector is defined by the projection)")
     if m.translation_average:
         inner = TranslationAveraged(inner=inner,
                                     lattice_shape=tuple(lattice.shape),
-                                    shift_stride=m.shift_stride)
+                                    shift_stride=m.shift_stride,
+                                    momentum=tuple(m.momentum or ()))
     if m.point_group_average:
         if lattice.ndim != 2 or not lattice.pbc:
             raise ValueError("point_group_average needs a periodic 2D "

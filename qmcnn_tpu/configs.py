@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import yaml
 
@@ -45,6 +45,10 @@ class ModelConfig:
     #: reference's explicit averaging is wanted (costs n_sites forwards).
     translation_average: bool = False
     shift_stride: int = 1
+    #: integer wavenumbers per dim (k_d = 2 pi m_d / L_d) for the
+    #: translation projection — nonzero targets a finite-momentum sector
+    #: (excited states); requires translation_average: true
+    momentum: Optional[List[int]] = None
     #: C4v point-group projection (8 forwards; 2D lattices): rotations and
     #: reflections are NOT built into the conv stack, unlike translations
     point_group_average: bool = False

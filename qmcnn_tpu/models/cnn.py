@@ -379,18 +379,27 @@ class LogPsiCNN(nn.Module):
 class TranslationAveraged(nn.Module):
     """Explicit translation symmetrization (SURVEY.md R2):
 
-      psi_sym(s) = mean over translations T of psi(T s)
-      => log psi_sym(s) = logmeanexp_T log psi(T s).
+      psi_k(s) = mean over translations T_a of e^{i k.a} psi(T_a s)
+      => log psi_k(s) = logmeanexp_a [log psi(T_a s) + i k.a].
 
-    Exact projection onto the zero-momentum sector. Costs one forward per
+    Exact projection onto the momentum-``k`` sector; ``momentum`` gives
+    integer wavenumbers per dimension (k_d = 2 pi m_d / L_d), default the
+    zero-momentum (fully translation-invariant) sector. Nonzero momenta
+    target excited states (e.g. the Anderson-tower / magnon branches) the
+    same way ``gcnn_character`` targets point-group sectors; the projected
+    state obeys psi_k(T_b s) = e^{-i k.b} psi_k(s). Costs one forward per
     translation, so use on small lattices or with a ``shift_stride``
-    subgroup. For the spatial-sum LogPsiCNN this is a mathematical no-op
-    (already invariant) — which the tests exploit.
+    subgroup (momentum components must then live on the subgroup's
+    reciprocal grid: m_d * stride divisible constraints are the user's
+    responsibility). For the spatial-sum LogPsiCNN the k = 0 projection
+    is a mathematical no-op (already invariant) — which the tests exploit.
     """
 
     inner: nn.Module
     lattice_shape: Tuple[int, ...]
     shift_stride: int = 1
+    #: integer wavenumbers m_d (k_d = 2 pi m_d / L_d); () = zero momentum
+    momentum: Tuple[int, ...] = ()
 
     @nn.compact
     def __call__(self, s: Array) -> C:
@@ -399,12 +408,23 @@ class TranslationAveraged(nn.Module):
         axes = tuple(range(1, 1 + len(self.lattice_shape)))
         shifts_per_dim = [range(0, L, self.shift_stride)
                           for L in self.lattice_shape]
+        shifts = list(itertools.product(*shifts_per_dim))
         rolled = [jnp.roll(grid, shift, axis=axes).reshape(batch, -1)
-                  for shift in itertools.product(*shifts_per_dim)]
+                  for shift in shifts]
         stacked = jnp.stack(rolled, axis=0)  # [T, batch, N]
         t = stacked.shape[0]
         logs = self.inner(stacked.reshape(t * batch, -1))
         logs = cplx.as_c(logs).reshape(t, batch)
+        if self.momentum and any(self.momentum):
+            if len(self.momentum) != len(self.lattice_shape):
+                raise ValueError("momentum needs one wavenumber per "
+                                 "lattice dimension")
+            k = [2.0 * np.pi * m / L
+                 for m, L in zip(self.momentum, self.lattice_shape)]
+            phases = np.asarray(
+                [sum(kd * ad for kd, ad in zip(k, shift))
+                 for shift in shifts], dtype=np.float32)
+            logs = C(logs.re, logs.im + jnp.asarray(phases)[:, None])
         return cplx.logmeanexp(logs, axis=0)
 
 

@@ -298,3 +298,61 @@ def test_deep_fan_in_selu_init_healthy():
         assert 1e-3 < spread < 3.0, (
             f"{type(model).__name__}: init log-psi spread {spread} outside "
             "the trainable window")
+
+
+def test_momentum_sector_projection():
+    """psi_k(T_b s) = e^{-i k.b} psi_k(s): translating the input shifts
+    the projected phase by exactly -k.b and leaves |psi_k| unchanged.
+    With k = 0 the projection reduces to the plain zero-momentum average
+    (phase-free), which for the spatial-sum CNN is the identity."""
+    import itertools as it
+
+    import jax
+    import jax.numpy as jnp
+    from qmcnn_tpu.models.cnn import LogPsiCNN, TranslationAveraged
+
+    L = (4, 4)
+    mom = (1, 2)
+    # a NON-invariant inner model (otherwise every k != 0 projects to 0):
+    # break translation invariance by reading out only half the lattice.
+
+    import flax.linen as nn
+    from qmcnn_tpu.ops import cplx as cx
+
+    class HalfReadout(nn.Module):
+        @nn.compact
+        def __call__(self, s):
+            w = self.param("w", nn.initializers.normal(0.3), (s.shape[-1],))
+            v = self.param("v", nn.initializers.normal(0.3), (s.shape[-1],))
+            return cx.C(jnp.tanh(s @ w), jnp.tanh(s @ v))
+
+    model = TranslationAveraged(inner=HalfReadout(), lattice_shape=L,
+                                momentum=mom)
+    key = jax.random.key(0)
+    s = (2.0 * jax.random.bernoulli(key, 0.5, (3, 16)) - 1.0).astype(
+        jnp.float32)
+    p = model.init(jax.random.key(1), s)
+    base = model.apply(p, s)
+
+    grid = np.asarray(s).reshape(3, *L)
+    for shift in [(1, 0), (0, 1), (2, 3)]:
+        moved = jnp.asarray(
+            np.roll(grid, shift, axis=(1, 2)).reshape(3, -1))
+        out = model.apply(p, moved)
+        np.testing.assert_allclose(np.asarray(out.re),
+                                   np.asarray(base.re), rtol=1e-5,
+                                   atol=1e-5)
+        kb = sum(2.0 * np.pi * m / Ld * a
+                 for m, Ld, a in zip(mom, L, shift))
+        dphi = np.asarray(out.im) - np.asarray(base.im) + kb
+        np.testing.assert_allclose(np.cos(dphi), 1.0, atol=1e-4)
+        np.testing.assert_allclose(np.sin(dphi), 0.0, atol=1e-4)
+
+    # k=0 path unchanged: equals the invariant CNN's own output
+    cnn = LogPsiCNN(lattice_shape=L, channels=(4,))
+    wrapped = TranslationAveraged(inner=cnn, lattice_shape=L)
+    pw = wrapped.init(jax.random.key(2), s)
+    a = wrapped.apply(pw, s)
+    b = cnn.apply({"params": pw["params"]["inner"]}, s)
+    np.testing.assert_allclose(np.asarray(a.re), np.asarray(b.re),
+                               rtol=1e-5, atol=1e-5)
