@@ -154,6 +154,10 @@ class RunConfig:
     init_from: Optional[str] = None
     #: which step to read from init_from (None = latest)
     init_from_step: Optional[int] = None
+    #: print a loud warning if a single device dispatch blocks longer than
+    #: this many seconds (a wedged TPU tunnel otherwise hangs silently —
+    #: observed on the tunneled v5e). 0 disables.
+    dispatch_warn_s: float = 300.0
 
 
 @dataclass(frozen=True)

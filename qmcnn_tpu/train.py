@@ -95,8 +95,27 @@ def train(cfg, ckpt_manager=None, logger=None):
     while it < cfg.run.n_steps:
         chunk = min(cfg.run.steps_per_dispatch, cfg.run.n_steps - it)
         t0 = time.perf_counter()
-        state, metrics = run_steps(state, base_key, chunk)
-        jax.block_until_ready(metrics.energy_re)
+        watchdog = None
+        if cfg.run.dispatch_warn_s > 0:
+            import threading
+
+            watchdog = threading.Timer(
+                cfg.run.dispatch_warn_s,
+                lambda: print(
+                    f"WARNING: dispatch at step {it} has been blocked for "
+                    f"> {cfg.run.dispatch_warn_s:.0f}s — the TPU tunnel "
+                    "may be wedged (a healthy dispatch here takes "
+                    "steps_per_dispatch x per-step time). If this "
+                    "repeats, restart the run; it resumes from the last "
+                    "checkpoint.", flush=True))
+            watchdog.daemon = True
+            watchdog.start()
+        try:
+            state, metrics = run_steps(state, base_key, chunk)
+            jax.block_until_ready(metrics.energy_re)
+        finally:
+            if watchdog is not None:
+                watchdog.cancel()
         dt = (time.perf_counter() - t0) / chunk
         e_re = np.asarray(metrics.energy_re)
         e_im = np.asarray(metrics.energy_im)

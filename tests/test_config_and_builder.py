@@ -257,3 +257,29 @@ run: {{n_steps: 2, log_every: 1, ckpt_every: 2, validate_against_ed: false}}
     _, fresh_rbm, _ = build_sharded(cfg_rbm)
     with pytest.raises(ValueError, match="matched no parameters"):
         warm_start(fresh_rbm, str(tmp_path / "src_ck"))
+
+
+def test_dispatch_watchdog_warns(tmp_path, capsys):
+    """run.dispatch_warn_s surfaces a wedged-dispatch warning (with 0s
+    threshold every dispatch trips it); 0 disables the watchdog."""
+    from qmcnn_tpu.train import train
+
+    yaml_cfg = """
+name: watchdog
+lattice: {shape: [8]}
+model: {channels: [3]}
+hamiltonian: {kind: tfim}
+sampler: {n_walkers: 32, move: flip, n_therm_sweeps: 1}
+optimizer: {kind: sgd, lr: 0.05}
+run: {n_steps: 2, log_every: 1, validate_against_ed: false,
+      dispatch_warn_s: 1.0e-6}
+"""
+    cfg = cfglib.from_yaml(yaml_cfg)
+    train(cfg)
+    out = capsys.readouterr().out
+    assert "may be wedged" in out
+
+    cfg2 = cfglib.apply_overrides(cfg, ["run.dispatch_warn_s=0"])
+    train(cfg2)
+    out2 = capsys.readouterr().out
+    assert "may be wedged" not in out2
