@@ -1,12 +1,19 @@
-"""Post-run analysis CLI over a metrics CSV (run.csv_path):
+"""Post-run analysis CLI over metrics CSVs (run.csv_path):
 
   python -m qmcnn_tpu.analyze runs/exp.csv [--tail 0.25] [--n-sites 100]
+  python -m qmcnn_tpu.analyze runs/a.csv runs/b.csv ... --extrapolate
 
-Prints the tail-mean energy with an autocorrelation-aware (binned) error
-bar, the integrated autocorrelation time of the energy trace, and run
-health aggregates (acceptance, throughput). Complements the live logger
-(utils/metrics.py), which prints the same tail estimate at run end —
-this works offline on any saved CSV.
+Single CSV: tail-mean energy with an autocorrelation-aware (binned)
+error bar, the integrated autocorrelation time, and run health
+aggregates. Complements the live logger (utils/metrics.py), which prints
+the same tail estimate at run end — this works offline on any saved CSV.
+
+Multiple CSVs + --extrapolate: zero-variance extrapolation. For a family
+of ansaetze of increasing quality on the SAME system (wider/deeper nets),
+E is asymptotically linear in the energy variance as var -> 0 (the exact
+state has zero variance), so a weighted linear fit of the runs'
+(var, E) tail means gives a better ground-state estimate than the best
+single run — the standard NQS reporting trick.
 """
 from __future__ import annotations
 
@@ -53,28 +60,65 @@ def analyze(cols: dict, tail: float = 0.25, n_sites: int | None = None
     return out
 
 
+def extrapolate_zero_variance(results: list) -> dict:
+    """Weighted linear fit E(var) over per-run tail means; E at var = 0.
+
+    Weights are 1/stderr^2. Returns intercept (the extrapolated energy),
+    its fit standard error, and the slope. Needs >= 2 runs with distinct
+    variances and valid 'energy_var_mean'.
+    """
+    pts = [(r["energy_var_mean"], r["energy"], r["energy_err"])
+           for r in results if "energy_var_mean" in r]
+    if len(pts) < 2:
+        raise ValueError("--extrapolate needs >= 2 CSVs with energy_var")
+    v, e, se = (np.asarray(x, dtype=np.float64) for x in zip(*pts))
+    if np.ptp(v) <= 0:
+        raise ValueError("variances are identical; nothing to extrapolate")
+    w = 1.0 / np.clip(se, 1e-12, None) ** 2
+    (slope, intercept), cov = np.polyfit(v, e, 1, w=np.sqrt(w), cov=True)
+    return {"energy0": float(intercept),
+            "energy0_err": float(np.sqrt(cov[1, 1])),
+            "slope": float(slope), "n_runs": len(pts)}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("csv_path")
+    p.add_argument("csv_paths", nargs="+")
     p.add_argument("--tail", type=float, default=0.25,
                    help="fraction of the trace to average (default 0.25)")
     p.add_argument("--n-sites", type=int, default=None,
                    help="report per-site energy too")
+    p.add_argument("--extrapolate", action="store_true",
+                   help="zero-variance extrapolation across the CSVs")
     args = p.parse_args(argv)
-    r = analyze(read_csv(args.csv_path), tail=args.tail,
-                n_sites=args.n_sites)
-    print(f"rows={r['rows']} (tail {r['tail_rows']}), "
-          f"last step {r['steps']}")
-    print(f"energy = {r['energy']:.6f} +- {r['energy_err']:.6f}"
-          f"  (tau_int ~ {r['tau_int']:.1f} logged steps)")
-    if "e_per_site" in r:
-        print(f"e/site = {r['e_per_site']:.6f} +- {r['e_per_site_err']:.6f}")
-    extras = [f"{k[:-5]}={r[k]:.4g}" for k in
-              ("accept_mean", "sweeps_per_sec_mean", "energy_var_mean")
-              if k in r]
-    if extras:
-        print("tail means: " + "  ".join(extras))
-    return r
+    results = []
+    for path in args.csv_paths:
+        r = analyze(read_csv(path), tail=args.tail, n_sites=args.n_sites)
+        results.append(r)
+        if len(args.csv_paths) > 1:
+            print(f"--- {path}")
+        print(f"rows={r['rows']} (tail {r['tail_rows']}), "
+              f"last step {r['steps']}")
+        print(f"energy = {r['energy']:.6f} +- {r['energy_err']:.6f}"
+              f"  (tau_int ~ {r['tau_int']:.1f} logged steps)")
+        if "e_per_site" in r:
+            print(f"e/site = {r['e_per_site']:.6f} "
+                  f"+- {r['e_per_site_err']:.6f}")
+        extras = [f"{k[:-5]}={r[k]:.4g}" for k in
+                  ("accept_mean", "sweeps_per_sec_mean", "energy_var_mean")
+                  if k in r]
+        if extras:
+            print("tail means: " + "  ".join(extras))
+    if args.extrapolate:
+        x = extrapolate_zero_variance(results)
+        print(f"zero-variance extrapolation over {x['n_runs']} runs: "
+              f"E(var->0) = {x['energy0']:.6f} +- {x['energy0_err']:.6f} "
+              f"(slope {x['slope']:.4g})")
+        if args.n_sites:
+            print(f"e/site(var->0) = {x['energy0'] / args.n_sites:.6f} "
+                  f"+- {x['energy0_err'] / args.n_sites:.6f}")
+        return results, x
+    return results[0] if len(results) == 1 else results
 
 
 if __name__ == "__main__":

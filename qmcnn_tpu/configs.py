@@ -130,7 +130,9 @@ class RunConfig:
     #: training steps fused into one device dispatch (lax.scan over steps);
     #: amortizes host round trips (~30ms each on the TPU tunnel). Keep
     #: steps_per_dispatch x per-step time under ~60s — the tunneled TPU
-    #: kills longer single dispatches with an UNAVAILABLE device error
+    #: kills longer single dispatches with an UNAVAILABLE device error.
+    #: 0 = auto: time one single-step dispatch, then pick the largest
+    #: chunk that fits the ~40s safety budget (costs one extra compile).
     steps_per_dispatch: int = 10
     log_every: int = 10
     csv_path: Optional[str] = None

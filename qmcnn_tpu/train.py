@@ -91,9 +91,25 @@ def train(cfg, ckpt_manager=None, logger=None):
                 _checked_cache[n_steps] = fn
             return fn(state, key)
 
+    steps_per_dispatch = cfg.run.steps_per_dispatch
+    if steps_per_dispatch <= 0:
+        # auto-size: measure one single-step dispatch (after compile) and
+        # fill a ~40s budget — the tunneled TPU kills ~80s+ dispatches
+        t0 = time.perf_counter()
+        _, m0 = run_steps(state, base_key, 1)
+        jax.block_until_ready(m0.energy_re)
+        compile_and_step = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, m0 = run_steps(state, base_key, 1)
+        jax.block_until_ready(m0.energy_re)
+        dt1 = max(time.perf_counter() - t0, 1e-6)
+        steps_per_dispatch = max(1, min(100, int(40.0 / dt1)))
+        print(f"auto steps_per_dispatch: per-step {dt1:.3f}s (first incl. "
+              f"compile {compile_and_step:.1f}s) -> {steps_per_dispatch}")
+
     it = start_step
     while it < cfg.run.n_steps:
-        chunk = min(cfg.run.steps_per_dispatch, cfg.run.n_steps - it)
+        chunk = min(steps_per_dispatch, cfg.run.n_steps - it)
         t0 = time.perf_counter()
         watchdog = None
         if cfg.run.dispatch_warn_s > 0:

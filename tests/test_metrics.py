@@ -71,3 +71,34 @@ def test_analyze_cli(tmp_path, capsys):
     assert abs(r["e_per_site"] + 2.5) < 0.05
     out = capsys.readouterr().out
     assert "e/site" in out and "accept" in out
+
+
+def test_analyze_zero_variance_extrapolation(tmp_path, capsys):
+    """Synthetic runs with E = E0 + c*var + noise: the weighted fit must
+    recover E0 at var -> 0 better than the best single run."""
+    import csv as csvmod
+    import numpy as np
+    from qmcnn_tpu.analyze import main
+
+    rng = np.random.default_rng(1)
+    e0, c = -50.0, 0.8
+    paths = []
+    for i, var in enumerate([2.0, 1.0, 0.5, 0.25]):
+        path = tmp_path / f"r{i}.csv"
+        with open(path, "w", newline="") as f:
+            w = csvmod.DictWriter(
+                f, fieldnames=["step", "energy_re", "energy_var"])
+            w.writeheader()
+            for t in range(200):
+                w.writerow({"step": t + 1,
+                            "energy_re": e0 + c * var + rng.normal(0, 0.02),
+                            "energy_var": var + rng.normal(0, 0.01)})
+        paths.append(str(path))
+    results, x = main(paths + ["--extrapolate", "--n-sites", "100"])
+    assert x["n_runs"] == 4
+    assert abs(x["energy0"] - e0) < 0.05, x
+    assert abs(x["slope"] - c) < 0.1
+    best_single = min(r["energy"] for r in results)
+    assert abs(x["energy0"] - e0) < abs(best_single - e0)
+    out = capsys.readouterr().out
+    assert "zero-variance extrapolation" in out and "e/site(var->0)" in out
