@@ -31,9 +31,19 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
     key = jax.random.key(cfg.run.seed + 12345)
     state = sharded.init_state(jax.random.fold_in(key, 0),
                                cfg.sampler.n_walkers, params)
-    mgr = CheckpointManager(ckpt_dir)
-    state = mgr.restore(state)
-    print(f"restored checkpoint at step {int(state.step)}")
+    try:
+        mgr = CheckpointManager(ckpt_dir)
+        state = mgr.restore(state)
+        print(f"restored checkpoint at step {int(state.step)}")
+    except Exception as exc:  # e.g. walker-count mismatch vs the saved run
+        print(f"full-state restore failed ({type(exc).__name__}); "
+              "restoring params only and re-thermalizing fresh walkers")
+        from qmcnn_tpu.utils.transfer import warm_start
+
+        params = warm_start(params, ckpt_dir)
+        state = sharded.init_state(jax.random.fold_in(key, 0),
+                                   cfg.sampler.n_walkers, params)
+        therm_sweeps = max(therm_sweeps, 50)
     state = sharded.thermalize(state, jax.random.fold_in(key, 1),
                                n_sweeps=therm_sweeps)
 
