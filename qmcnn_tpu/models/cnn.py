@@ -357,7 +357,8 @@ class LogPsiCNN(nn.Module):
                                 init_extra_scale=final_extra(i, c))(x)
                 x = act_c(x)
                 if skip(i, c):
-                    x = x + x_in
+                    # variance-preserving (see LogPsiGCNN residual note)
+                    x = (x + x_in) * 0.7071067811865476
             return C(x.re.reshape(batch, -1).sum(-1),
                      x.im.reshape(batch, -1).sum(-1))
         for i, c in enumerate(self.channels):
@@ -371,7 +372,7 @@ class LogPsiCNN(nn.Module):
                          init_extra_scale=final_extra(i, c))(x)
             x = act_r(x)
             if skip(i, c):
-                x = x + x_in
+                x = (x + x_in) * 0.7071067811865476
         out = x.reshape(batch, -1).sum(-1)
         return C(out, jnp.zeros_like(out))
 

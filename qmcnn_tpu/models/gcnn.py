@@ -296,7 +296,12 @@ class LogPsiGCNN(nn.Module):
             z = act_c(z) if isinstance(z, C) else act_r(z)
             if (self.residual and 0 < i < n_layers - 1
                     and c == self.channels[i - 1]):
-                z = z + z_in
+                # variance-preserving skip: plain z + z_in grows activation
+                # variance linearly with depth, which measured as a NaN
+                # blow-up mid-TRAINING (step ~650 of the depth-8 8x8 J1-J2
+                # run) even though init was healthy — log psi has no
+                # normalization layer to absorb the growth
+                z = (z + z_in) * 0.7071067811865476
         # [B, H, W, G*C] -> per-element sums S_g: sum over space and C
         c_last = self.channels[-1]
         sums = lambda t: t.reshape(batch, -1, G, c_last).sum((1, 3))
