@@ -37,26 +37,53 @@ def read_csv(path: str) -> dict:
     return {k: np.asarray(v) for k, v in cols.items()}
 
 
-def analyze(cols: dict, tail: float = 0.25, n_sites: int | None = None
-            ) -> dict:
+def _excursion_mask(x: np.ndarray, nsig: float = 5.0) -> np.ndarray:
+    """True for rows within nsig robust-sigmas (1.4826*MAD) of the median.
+
+    Transient excursions — a walker cloud briefly leaving the typical set,
+    an SR blow-up the next steps recover from — inflate tail means and
+    especially tail variances; a median/MAD gate removes them without
+    touching equilibrium fluctuations (for Gaussian noise nsig=5 keeps
+    ~99.99994% of honest rows)."""
+    med = np.median(x)
+    mad = np.median(np.abs(x - med))
+    if mad == 0.0:
+        return np.ones(x.shape, dtype=bool)
+    return np.abs(x - med) <= nsig * 1.4826 * mad
+
+
+def analyze(cols: dict, tail: float = 0.25, n_sites: int | None = None,
+            robust: bool = False) -> dict:
     e = cols.get("energy_re")
     if e is None or e.size == 0:
         raise ValueError("CSV has no energy_re column")
-    t = e[int(e.size * (1.0 - tail)):]
+    lo = int(e.size * (1.0 - tail))
+    t = e[lo:]
+    keep = np.ones(t.shape, dtype=bool)
+    if robust:
+        # variance-matched tail: gate on BOTH energy and its variance so
+        # the (var, E) point fed to --extrapolate reflects the same
+        # equilibrium window in each coordinate
+        keep &= _excursion_mask(t)
+        if "energy_var" in cols and cols["energy_var"].size >= e.size:
+            keep &= _excursion_mask(cols["energy_var"][lo:])
     out = {
         "steps": int(cols["step"][-1]) if "step" in cols else e.size,
         "rows": int(e.size),
-        "tail_rows": int(t.size),
-        "energy": float(t.mean()),
-        "energy_err": binned_stderr(t),
-        "tau_int": integrated_autocorr_time(t),
+        "tail_rows": int(keep.sum()),
+        "tail_excluded": int(t.size - keep.sum()),
+        "energy": float(t[keep].mean()),
+        "energy_err": binned_stderr(t[keep]),
+        "tau_int": integrated_autocorr_time(t[keep]),
     }
     if n_sites:
         out["e_per_site"] = out["energy"] / n_sites
         out["e_per_site_err"] = out["energy_err"] / n_sites
     for k in ("accept", "sweeps_per_sec", "energy_var"):
         if k in cols and cols[k].size:
-            out[f"{k}_mean"] = float(cols[k][-t.size:].mean())
+            v = cols[k][-t.size:]
+            out[f"{k}_mean"] = float(v[keep].mean() if v.size == t.size
+                                     else v.mean())
     return out
 
 
@@ -75,9 +102,19 @@ def extrapolate_zero_variance(results: list) -> dict:
     if np.ptp(v) <= 0:
         raise ValueError("variances are identical; nothing to extrapolate")
     w = 1.0 / np.clip(se, 1e-12, None) ** 2
-    (slope, intercept), cov = np.polyfit(v, e, 1, w=np.sqrt(w), cov=True)
+    if len(pts) == 2:
+        # exactly-determined line: polyfit(cov=True) needs n > order+1,
+        # so propagate the two points' stderrs through the intercept
+        # E0 = (e0*v1 - e1*v0) / (v1 - v0) analytically
+        dv = v[1] - v[0]
+        intercept = (e[0] * v[1] - e[1] * v[0]) / dv
+        slope = (e[1] - e[0]) / dv
+        err = float(np.hypot(se[0] * v[1] / dv, se[1] * v[0] / dv))
+    else:
+        (slope, intercept), cov = np.polyfit(v, e, 1, w=np.sqrt(w), cov=True)
+        err = float(np.sqrt(cov[1, 1]))
     return {"energy0": float(intercept),
-            "energy0_err": float(np.sqrt(cov[1, 1])),
+            "energy0_err": err,
             "slope": float(slope), "n_runs": len(pts)}
 
 
@@ -90,14 +127,22 @@ def main(argv=None):
                    help="report per-site energy too")
     p.add_argument("--extrapolate", action="store_true",
                    help="zero-variance extrapolation across the CSVs")
+    p.add_argument("--robust-tail", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="median/MAD-gate transient excursions out of the "
+                        "tail window (default: on with --extrapolate)")
     args = p.parse_args(argv)
+    robust = args.extrapolate if args.robust_tail is None else args.robust_tail
     results = []
     for path in args.csv_paths:
-        r = analyze(read_csv(path), tail=args.tail, n_sites=args.n_sites)
+        r = analyze(read_csv(path), tail=args.tail, n_sites=args.n_sites,
+                    robust=robust)
         results.append(r)
         if len(args.csv_paths) > 1:
             print(f"--- {path}")
-        print(f"rows={r['rows']} (tail {r['tail_rows']}), "
+        excl = (f", {r['tail_excluded']} excursion rows excluded"
+                if r.get("tail_excluded") else "")
+        print(f"rows={r['rows']} (tail {r['tail_rows']}{excl}), "
               f"last step {r['steps']}")
         print(f"energy = {r['energy']:.6f} +- {r['energy_err']:.6f}"
               f"  (tau_int ~ {r['tau_int']:.1f} logged steps)")

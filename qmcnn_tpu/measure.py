@@ -31,11 +31,17 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
     key = jax.random.key(cfg.run.seed + 12345)
     state = sharded.init_state(jax.random.fold_in(key, 0),
                                cfg.sampler.n_walkers, params)
+    mgr = CheckpointManager(ckpt_dir)
+    loaded_step = mgr.latest_step()
     try:
-        mgr = CheckpointManager(ckpt_dir)
         state = mgr.restore(state)
-        print(f"restored checkpoint at step {int(state.step)}")
-    except Exception as exc:  # e.g. walker-count mismatch vs the saved run
+        loaded_step = int(state.step)
+        print(f"restored checkpoint at step {loaded_step}")
+    except (ValueError, KeyError, TypeError) as exc:
+        # structure/shape mismatch vs the saved run (e.g. different walker
+        # count) — degrade to params-only. Transient I/O errors
+        # (OSError etc.) propagate: retrying beats silently measuring a
+        # fresh state.
         print(f"full-state restore failed ({type(exc).__name__}); "
               "restoring params only and re-thermalizing fresh walkers")
         from qmcnn_tpu.utils.transfer import warm_start
@@ -85,7 +91,7 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
     corr = corr_acc / n_samples
     sq = observables.structure_factor(corr, lattice)
     report = {
-        "step": int(state.step),
+        "step": int(loaded_step) if loaded_step is not None else 0,
         "energy": float(np.mean(e_trace)),
         "energy_err": binned_stderr(np.asarray(e_trace)),
         "energy_per_site": float(np.mean(e_trace)) / n,

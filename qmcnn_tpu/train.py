@@ -91,23 +91,27 @@ def train(cfg, ckpt_manager=None, logger=None):
                 _checked_cache[n_steps] = fn
             return fn(state, key)
 
+    it = start_step
     steps_per_dispatch = cfg.run.steps_per_dispatch
     if steps_per_dispatch <= 0:
         # auto-size: measure one single-step dispatch (after compile) and
-        # fill a ~40s budget — the tunneled TPU kills ~80s+ dispatches
+        # fill a ~40s budget — the tunneled TPU kills ~80s+ dispatches.
+        # The timing dispatches are REAL training steps and the advanced
+        # state is kept (per-step keys derive from state.step, so the MC
+        # stream continues exactly); only their metrics go unlogged.
         t0 = time.perf_counter()
-        _, m0 = run_steps(state, base_key, 1)
+        state, m0 = run_steps(state, base_key, 1)
         jax.block_until_ready(m0.energy_re)
         compile_and_step = time.perf_counter() - t0
         t0 = time.perf_counter()
-        _, m0 = run_steps(state, base_key, 1)
+        state, m0 = run_steps(state, base_key, 1)
         jax.block_until_ready(m0.energy_re)
         dt1 = max(time.perf_counter() - t0, 1e-6)
+        it = min(it + 2, cfg.run.n_steps)
         steps_per_dispatch = max(1, min(100, int(40.0 / dt1)))
         print(f"auto steps_per_dispatch: per-step {dt1:.3f}s (first incl. "
               f"compile {compile_and_step:.1f}s) -> {steps_per_dispatch}")
 
-    it = start_step
     while it < cfg.run.n_steps:
         chunk = min(steps_per_dispatch, cfg.run.n_steps - it)
         t0 = time.perf_counter()

@@ -102,3 +102,58 @@ def test_analyze_zero_variance_extrapolation(tmp_path, capsys):
     assert abs(x["energy0"] - e0) < abs(best_single - e0)
     out = capsys.readouterr().out
     assert "zero-variance extrapolation" in out and "e/site(var->0)" in out
+
+
+def test_analyze_extrapolation_two_runs_analytic(tmp_path):
+    """n==2 must not crash polyfit(cov=True): the exactly-determined line's
+    intercept error is propagated analytically (ADVICE r1)."""
+    import csv as csvmod
+    import numpy as np
+    from qmcnn_tpu.analyze import main
+
+    rng = np.random.default_rng(2)
+    paths = []
+    for i, (var, e) in enumerate([(2.0, -48.4), (0.5, -49.6)]):
+        path = tmp_path / f"r{i}.csv"
+        with open(path, "w", newline="") as f:
+            w = csvmod.DictWriter(
+                f, fieldnames=["step", "energy_re", "energy_var"])
+            w.writeheader()
+            for t in range(100):
+                w.writerow({"step": t + 1,
+                            "energy_re": e + rng.normal(0, 0.02),
+                            "energy_var": var})
+        paths.append(str(path))
+    _, x = main(paths + ["--extrapolate"])
+    assert x["n_runs"] == 2
+    # exact line through the two points: E0 = -50, slope 0.8
+    assert abs(x["energy0"] + 50.0) < 0.05
+    assert abs(x["slope"] - 0.8) < 0.05
+    assert np.isfinite(x["energy0_err"]) and x["energy0_err"] > 0
+
+
+def test_analyze_robust_tail_excludes_excursions(tmp_path):
+    """A transient excursion inside the tail window must not shift the
+    robust tail mean/variance (VERDICT r1 item 8)."""
+    import csv as csvmod
+    import numpy as np
+    from qmcnn_tpu.analyze import analyze, read_csv
+
+    rng = np.random.default_rng(3)
+    path = tmp_path / "r.csv"
+    with open(path, "w", newline="") as f:
+        w = csvmod.DictWriter(
+            f, fieldnames=["step", "energy_re", "energy_var"])
+        w.writeheader()
+        for t in range(200):
+            e, v = -10.0 + rng.normal(0, 0.01), 0.1 + rng.normal(0, 0.002)
+            if t in (150, 180):  # excursions inside the 25% tail
+                e, v = -4.0, 3.0
+            w.writerow({"step": t + 1, "energy_re": e, "energy_var": v})
+    plain = analyze(read_csv(str(path)), robust=False)
+    robust = analyze(read_csv(str(path)), robust=True)
+    assert robust["tail_excluded"] == 2
+    assert abs(robust["energy"] + 10.0) < 0.01
+    assert abs(robust["energy_var_mean"] - 0.1) < 0.01
+    assert abs(plain["energy"] + 10.0) > 0.1  # the excursions did bite
+    assert robust["energy_err"] < plain["energy_err"]
