@@ -49,13 +49,20 @@ def _circular_pad(x: Array, kernel: Tuple[int, ...], pbc: bool = True
     return jnp.pad(x, pads, mode="wrap" if pbc else "constant")
 
 
-def _real_conv(x: Array, w: Array, compute_dtype=jnp.float32) -> Array:
+def _real_conv(x: Array, w: Array, compute_dtype=jnp.float32,
+               cast_back: bool = True) -> Array:
     """VALID real conv, NWC/NHWC layout, float32 accumulation on the MXU.
 
     ``compute_dtype=bfloat16`` casts the conv operands to bf16 (2x MXU rate)
     while keeping f32 accumulation; activations, acceptance math, and local
     energies stay f32 throughout (SURVEY.md hard part #6 — enable only
     after the energy-bias A/B documented in BASELINE.md).
+
+    ``cast_back=False`` returns the compute_dtype result instead of f32 —
+    for stacks that keep activations in bf16 end-to-end (models/gcnn.py):
+    measured on v5e, per-layer f32<->bf16 round trips ADD enough HBM
+    traffic to cancel the bf16 MXU gain (BASELINE.md r2), so the cast must
+    happen once at the input and once at the readout, not per conv.
     """
     ndim = w.ndim - 2  # spatial dims
     dn = jax.lax.conv_dimension_numbers(
@@ -68,7 +75,7 @@ def _real_conv(x: Array, w: Array, compute_dtype=jnp.float32) -> Array:
             dimension_numbers=dn, preferred_element_type=jnp.float32,
         )
     # reduced precision: run the conv fully in compute_dtype (the MXU still
-    # accumulates f32 internally; outputs round per layer) and cast back.
+    # accumulates f32 internally; outputs round per layer).
     # NOTE: mixing preferred_element_type=f32 with bf16 operands breaks the
     # autodiff transpose rule (cotangent arrives f32), hence this form.
     out = jax.lax.conv_general_dilated(
@@ -76,7 +83,7 @@ def _real_conv(x: Array, w: Array, compute_dtype=jnp.float32) -> Array:
         window_strides=(1,) * ndim, padding="VALID",
         dimension_numbers=dn,
     )
-    return out.astype(jnp.float32)
+    return out.astype(jnp.float32) if cast_back else out
 
 
 # ---------------------------------------------------------------------------

@@ -148,9 +148,17 @@ def _group_kernel(w: Array, elem_idx: np.ndarray, tap_perm: np.ndarray,
     return big.reshape(k, k, G * cin, G * cout)
 
 
-def _conv(x: Array, w: Array) -> Array:
-    """Circular VALID conv (periodic lattices only — GCNN requires PBC)."""
-    return _real_conv(_circular_pad(x, w.shape[:-2]), w)
+def _conv(x: Array, w: Array, compute_dtype=jnp.float32) -> Array:
+    """Circular VALID conv (periodic lattices only — GCNN requires PBC).
+
+    Under reduced precision the output STAYS in compute_dtype: the GCNN
+    stack keeps activations bf16 end-to-end (cast once at the input, once
+    at the readout). Measured on v5e (BASELINE.md r2): per-layer cast-backs
+    add f32 HBM round trips that make bf16 *slower* than f32, while the
+    end-to-end form halves activation traffic on top of the 2x MXU rate.
+    """
+    return _real_conv(_circular_pad(x, w.shape[:-2]), w, compute_dtype,
+                      cast_back=False)
 
 
 class GroupConv(nn.Module):
@@ -171,10 +179,15 @@ class GroupConv(nn.Module):
     #: extra multiplier on the init std (the log-psi stacks shrink the FINAL
     #: layer's init so the post-readout log-amplitude starts near-uniform)
     init_extra_scale: float = 1.0
+    #: 'float32' or 'bfloat16' conv operands (params/activations stay f32;
+    #: unlike the narrow CNN, the G-expanded conv IS MXU-rate-bound, so bf16
+    #: pays here — energy-bias A/B in BASELINE.md before trusting a config)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, z):
         k = self.kernel_size
+        cdt = jnp.dtype(self.compute_dtype)
         G, _, elem_idx, tap_perm, _, _ = c4v_tables(k)
         x0 = z.re if isinstance(z, C) else z
         if self.lift:
@@ -195,17 +208,20 @@ class GroupConv(nn.Module):
         if self.complex_params:
             b = expand(self.param("kernel_im", init, shape, jnp.float32))
             if isinstance(z, C):
-                p1 = _conv(z.re, a)
-                p2 = _conv(z.im, b)
-                p3 = _conv(z.re + z.im, a + b)
+                p1 = _conv(z.re, a, cdt)
+                p2 = _conv(z.im, b, cdt)
+                p3 = _conv(z.re + z.im, a + b, cdt)
                 out = C(p1 - p2, p3 - p1 - p2)
             else:
-                out = C(_conv(z, a), _conv(z, b))
+                out = C(_conv(z, a, cdt), _conv(z, b, cdt))
         else:
             # real parameters: keep plain real arrays end-to-end
-            out = _conv(x0, a)
+            out = _conv(x0, a, cdt)
         if self.use_bias:
-            tile = lambda v: jnp.tile(v, (G,))
+            # cast the (f32) bias to the activation dtype — an f32 add
+            # would silently promote the whole bf16 stack back to f32
+            odt = (out.re if isinstance(out, C) else out).dtype
+            tile = lambda v: jnp.tile(v, (G,)).astype(odt)
             br = tile(self.param("bias_re", nn.initializers.zeros,
                                  (self.features,), jnp.float32))
             if self.complex_params:
@@ -260,6 +276,8 @@ class LogPsiGCNN(nn.Module):
     #: Group-equivariance is preserved: the identity commutes with the
     #: regular representation.
     residual: bool = False
+    #: conv-operand precision, passed to every GroupConv (see there)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, s: Array) -> C:
@@ -274,7 +292,11 @@ class LogPsiGCNN(nn.Module):
         G, _, _, _, chars, _ = c4v_tables(k)
         batch = s.shape[0]
         act_c, act_r = cplx.ACTIVATIONS[self.activation]
-        x = s.reshape(batch, *self.lattice_shape, 1).astype(jnp.float32)
+        # activations live in compute_dtype end-to-end (one cast here, one
+        # f32-accumulated cast at the readout) — see _conv for the measured
+        # reason per-layer cast-backs lose
+        x = s.reshape(batch, *self.lattice_shape, 1).astype(
+            jnp.dtype(self.compute_dtype))
         z = x
         n_layers = len(self.channels)
         for i, c in enumerate(self.channels):
@@ -292,7 +314,8 @@ class LogPsiGCNN(nn.Module):
                           complex_params=self.complex_params,
                           param_scale=self.param_scale,
                           init_mode=self.init_mode,
-                          init_extra_scale=extra)(z)
+                          init_extra_scale=extra,
+                          compute_dtype=self.compute_dtype)(z)
             z = act_c(z) if isinstance(z, C) else act_r(z)
             if (self.residual and 0 < i < n_layers - 1
                     and c == self.channels[i - 1]):
@@ -302,9 +325,11 @@ class LogPsiGCNN(nn.Module):
                 # run) even though init was healthy — log psi has no
                 # normalization layer to absorb the growth
                 z = (z + z_in) * 0.7071067811865476
-        # [B, H, W, G*C] -> per-element sums S_g: sum over space and C
+        # [B, H, W, G*C] -> per-element sums S_g: sum over space and C,
+        # accumulated in f32 (XLA fuses the upcast into the reduction)
         c_last = self.channels[-1]
-        sums = lambda t: t.reshape(batch, -1, G, c_last).sum((1, 3))
+        sums = lambda t: t.reshape(batch, -1, G, c_last).astype(
+            jnp.float32).sum((1, 3))
         z = cplx.as_c(z)
         s_g = C(sums(z.re), sums(z.im))        # [B, G]
         chi = np.asarray(chars[self.character])
