@@ -10,6 +10,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from qmcnn_tpu.configs import Config
@@ -43,6 +44,17 @@ def build_model(cfg: Config, lattice: Lattice):
     m = cfg.model
     if m.translation_average and not lattice.pbc:
         raise ValueError("translation averaging requires periodic boundaries")
+    if m.momentum and any(m.momentum):
+        # validated before the per-kind branches so a finite-momentum
+        # request can never be silently ignored (e.g. by gcnn/rbm, which
+        # have no momentum projector)
+        if m.kind != "cnn":
+            raise ValueError(
+                f"model.momentum is only supported by the cnn ansatz via "
+                f"translation averaging (got kind={m.kind!r})")
+        if not m.translation_average:
+            raise ValueError("model.momentum requires translation_average: "
+                             "true (the sector is defined by the projection)")
     if m.kind == "rbm":
         from qmcnn_tpu.models.rbm import LogPsiRBM
 
@@ -73,6 +85,7 @@ def build_model(cfg: Config, lattice: Lattice):
             init_mode=m.init_mode,
             activation=m.activation,
             residual=m.residual,
+            compute_dtype=m.compute_dtype,
         )
         return _maybe_spin_flip(inner, m)
     if m.kind != "cnn":
@@ -90,9 +103,6 @@ def build_model(cfg: Config, lattice: Lattice):
         activation=m.activation,
         residual=m.residual,
     )
-    if m.momentum and any(m.momentum) and not m.translation_average:
-        raise ValueError("model.momentum requires translation_average: "
-                         "true (the sector is defined by the projection)")
     if m.translation_average:
         inner = TranslationAveraged(inner=inner,
                                     lattice_shape=tuple(lattice.shape),
@@ -148,10 +158,35 @@ def build_optimizer(cfg: Config) -> optax.GradientTransformation:
     return base
 
 
-def build_sr(cfg: Config) -> Optional[SR]:
+def model_log_psi_is_real(cfg: Config) -> bool:
+    """True iff log psi(s) is real for ALL parameter values, so the J_im
+    score block is identically zero and SR can skip it (sr.py
+    real_log_psi). Conservative: any feature that can put a phase on psi
+    (complex weights, odd spin-flip sector, a sign-changing C4v character,
+    a finite momentum sector) disqualifies."""
+    m = cfg.model
+    if m.complex_params:
+        return False
+    if m.spin_flip_sector == -1:
+        return False
+    if m.kind == "gcnn" and m.gcnn_character != "A1":
+        return False
+    if m.momentum and any(m.momentum):
+        return False
+    return True
+
+
+def build_sr(cfg: Config, lattice=None, ham=None,
+             n_params: Optional[int] = None) -> Optional[SR]:
     s = cfg.sr
     if not s.enabled:
         return None
+    jacobian_chunk = s.jacobian_chunk
+    if jacobian_chunk is None and lattice is not None and ham is not None:
+        from qmcnn_tpu.utils import memory
+
+        jacobian_chunk = memory.auto_jacobian_chunk(cfg, lattice, ham,
+                                                    n_params)
     return SR(
         solver=s.solver,
         diag_shift0=s.diag_shift0,
@@ -160,7 +195,8 @@ def build_sr(cfg: Config) -> Optional[SR]:
         proportional_shift=s.proportional_shift,
         cg_tol=s.cg_tol,
         cg_maxiter=s.cg_maxiter,
-        jacobian_chunk=s.jacobian_chunk,
+        jacobian_chunk=jacobian_chunk,
+        real_log_psi=model_log_psi_is_real(cfg),
     )
 
 
@@ -222,15 +258,24 @@ def build(cfg: Config, axis_name: Optional[str] = None
         lattice_shape=tuple(lattice.shape),
         pallas_block=cfg.sampler.pallas_block,
     )
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+    chunk_size = cfg.run.chunk_size
+    if chunk_size is None:
+        # null = auto: estimate from shapes; returns None (unchunked) when
+        # the full E_loc batch fits the HBM budget (utils/memory.py)
+        from qmcnn_tpu.utils import memory
+
+        chunk_size = memory.auto_chunk_size(cfg, lattice, ham, n_params)
     vmc = VMC(
         log_psi_fn=log_psi_fn,
         ham=ham,
         sampler=sampler,
         optimizer=build_optimizer(cfg),
         n_sweeps=cfg.sampler.n_sweeps_per_step,
-        sr=build_sr(cfg),
+        sr=build_sr(cfg, lattice, ham, n_params),
         axis_name=axis_name,
-        chunk_size=cfg.run.chunk_size,
+        chunk_size=chunk_size,
     )
     return vmc, params, lattice
 

@@ -25,7 +25,9 @@ from qmcnn_tpu.utils.metrics import binned_stderr
 
 
 def measure(cfg, ckpt_dir: str, n_samples: int = 20,
-            sweeps_between: int = 2, therm_sweeps: int = 20):
+            sweeps_between: int = 2, therm_sweeps: int = 20,
+            fidelity_ckpt: str | None = None,
+            fidelity_step: int | None = None):
     sharded, params, lattice = build_sharded(cfg)
     vmc = sharded.vmc
     key = jax.random.key(cfg.run.seed + 12345)
@@ -88,6 +90,25 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         ss_trace.append(float(ss_nn))
         corr_acc += np.asarray(corr)
 
+    fid = None
+    if fidelity_ckpt is not None:
+        # MC fidelity |<psi1|psi2>|^2/(<1|1><2|2>) vs another checkpoint of
+        # the same model family (ops/fidelity.py; two-chain estimator —
+        # chain 2 re-thermalizes under params2)
+        from qmcnn_tpu.ops.fidelity import fidelity as mc_fidelity
+        from qmcnn_tpu.utils.transfer import warm_start
+
+        params2 = warm_start(
+            jax.tree_util.tree_map(lambda x: x, state.params), fidelity_ckpt,
+            step=fidelity_step)
+        state2 = sharded.init_state(jax.random.fold_in(key, 2),
+                                    cfg.sampler.n_walkers, params2)
+        state2 = sharded.thermalize(state2, jax.random.fold_in(key, 3),
+                                    n_sweeps=max(therm_sweeps, 50))
+        fid = float(jax.jit(mc_fidelity, static_argnums=(0, 2))(
+            vmc.log_psi_fn, state.params, vmc.log_psi_fn, params2,
+            state.walkers.s, state2.walkers.s))
+
     corr = corr_acc / n_samples
     sq = observables.structure_factor(corr, lattice)
     report = {
@@ -102,6 +123,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         "structure_factor_peak": float(sq.max()),
         "structure_factor_peak_q_index": int(sq.argmax()),
     }
+    if fid is not None:
+        report["fidelity_vs_ckpt"] = fid
     return report
 
 
@@ -111,11 +134,17 @@ def main(argv=None):
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--n-samples", type=int, default=20)
     p.add_argument("--sweeps-between", type=int, default=2)
+    p.add_argument("--fidelity-ckpt", default=None,
+                   help="second checkpoint dir: report the MC fidelity "
+                        "|<psi1|psi2>|^2 between the two states")
+    p.add_argument("--fidelity-step", type=int, default=None)
     p.add_argument("--override", action="append", default=[])
     args = p.parse_args(argv)
     cfg = cfglib.load(args.config, tuple(args.override))
     report = measure(cfg, args.ckpt_dir, n_samples=args.n_samples,
-                     sweeps_between=args.sweeps_between)
+                     sweeps_between=args.sweeps_between,
+                     fidelity_ckpt=args.fidelity_ckpt,
+                     fidelity_step=args.fidelity_step)
     print(json.dumps({k: v for k, v in report.items() if k != "szsz_corr"},
                      indent=2))
     print("szsz_corr:", np.array2string(np.asarray(report["szsz_corr"]),

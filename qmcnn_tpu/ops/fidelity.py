@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from qmcnn_tpu.ops import cplx
@@ -23,7 +24,11 @@ from qmcnn_tpu.vmc import pmean
 def _mean_ratio(lp_num: C, lp_den: C, axis_name: Optional[str]) -> C:
     """E[exp(lp_num - lp_den)] with max-Re stabilization."""
     d = C(lp_num.re - lp_den.re, lp_num.im - lp_den.im)
-    shift = pmean(jnp.max(d.re), axis_name)  # crude but safe stabilizer
+    shift = jnp.max(d.re)
+    if axis_name is not None:
+        # true global max (pmax): a mean of per-shard maxima would be
+        # consistent across shards but a weaker overflow guard
+        shift = jax.lax.pmax(shift, axis_name)
     w = cplx.cexp(C(d.re - shift, d.im))
     mean = C(pmean(w.re.mean(), axis_name), pmean(w.im.mean(), axis_name))
     return mean, shift

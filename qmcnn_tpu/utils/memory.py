@@ -1,0 +1,178 @@
+"""HBM-estimate-driven auto-chunking (SURVEY.md section 5, the
+"long-context analogue": lattice-size scaling bounded by chunked forwards).
+
+Round-1 large-lattice runs needed hand-tuned ``run.chunk_size`` /
+``sr.jacobian_chunk`` (trial-and-error against OOM; the calibration table
+lives in docs/GUIDE.md). This module computes those defaults from the
+config's shapes, so ``chunk_size: null`` / ``jacobian_chunk: null`` mean
+"fit it for me" instead of "never chunk" — the estimator returns None
+(no chunking) whenever the unchunked batch fits, which preserves the old
+behavior for every small/medium config.
+
+Model: peak HBM of a batched conv forward ~ batch x (live-layer window of
+activations), where the window is ~2 layers for a forward-only pass (XLA
+frees layer l-1 once l+1 is computed) and ~all layers for a backward pass
+(saved residuals). Calibrated against the round-1 measurements: the
+flagship 10x10 CNN E_loc (2048 walkers x 201 connected, ~5 GB at window 2)
+ran unchunked on a 16 GB chip, while the deep 8x8/10x10 GCNN table rows
+(docs/GUIDE.md) sit at 5.5-6.6 GB with their working hand-tuned chunks.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: live activation window of a forward-only pass, in layers
+_FWD_WINDOW = 2.0
+#: fraction of physical HBM the transient forward batch may claim (the
+#: rest covers XLA workspace, fragmentation, and everything persistent
+#: not itemized below)
+_BUDGET_FRACTION = 0.45
+#: default HBM when the backend does not report it (v5e chip)
+_DEFAULT_HBM_BYTES = 16 * 1024**3
+
+
+def device_hbm_bytes() -> int:
+    """Physical device memory of the default device, if discoverable."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return _DEFAULT_HBM_BYTES
+
+
+def connected_k(ham, n_sites: int) -> int:
+    """Static connected-state count K, via abstract evaluation (no FLOPs)."""
+    _, mel, _ = jax.eval_shape(
+        ham.connected, jax.ShapeDtypeStruct((n_sites,), jnp.float32))
+    return int(mel.shape[0])
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelFootprint:
+    """Per-configuration activation cost of one log-psi forward."""
+
+    n_sites: int
+    max_width: int        # widest layer's channel count (G-expanded for gcnn)
+    n_layers: int
+    n_parts: int          # 2 when activations are (re, im) pairs
+    sym_batch: int        # internal batch blow-up (spin-flip wrapper: 2)
+
+    def fwd_bytes(self) -> float:
+        """Transient bytes per config of a forward-only pass."""
+        return (_FWD_WINDOW * self.n_sites * self.max_width
+                * self.n_parts * self.sym_batch * 4.0)
+
+    def bwd_bytes(self) -> float:
+        """Transient bytes per config of a value+grad pass (residuals for
+        every layer stay live)."""
+        return (self.n_layers * self.n_sites * self.max_width
+                * self.n_parts * self.sym_batch * 4.0 * 2.0)
+
+
+def model_footprint(cfg, n_sites: int) -> ModelFootprint:
+    m = cfg.model
+    channels = tuple(m.channels) or (1,)
+    group = 8 if m.kind == "gcnn" else 1
+    if m.kind == "rbm":
+        width = max(1, int(m.rbm_alpha))
+        n_layers = 1
+    else:
+        width = max(channels) * group
+        n_layers = len(channels)
+    n_parts = 2 if m.complex_params else 1
+    sym = 2 if m.spin_flip_sector else 1
+    if m.kind == "cnn" and m.translation_average:
+        sym *= n_sites  # one forward per translation (shift_stride aside)
+    if m.kind == "cnn" and m.point_group_average:
+        sym *= 8
+    return ModelFootprint(n_sites=n_sites, max_width=width,
+                          n_layers=n_layers, n_parts=n_parts, sym_batch=sym)
+
+
+def _largest_pow2_divisor_leq(m: int, target: float) -> int:
+    """Largest power-of-two divisor of m that is <= target (>= 1)."""
+    best = 1
+    d = 1
+    while m % (d * 2) == 0:
+        d *= 2
+        if d <= target:
+            best = d
+    return best
+
+
+def auto_chunk_size(cfg, lattice, ham, n_params: Optional[int] = None,
+                    hbm_bytes: Optional[int] = None) -> Optional[int]:
+    """Local-energy walker chunk (run.chunk_size) or None for unchunked.
+
+    Budget = _BUDGET_FRACTION x HBM minus the persistent SR Jacobian
+    (M x P, doubled unless the model is real) when a materializing solver
+    is configured.
+    """
+    hbm = device_hbm_bytes() if hbm_bytes is None else hbm_bytes
+    m_local = _local_walkers(cfg)
+    k1 = connected_k(ham, lattice.n_sites) + 1
+    fp = model_footprint(cfg, lattice.n_sites)
+    budget = _BUDGET_FRACTION * hbm - _persistent_bytes(cfg, n_params,
+                                                        m_local)
+    budget = max(budget, 0.05 * hbm)
+    full = m_local * k1 * fp.fwd_bytes()
+    if full <= budget:
+        return None
+    return _largest_pow2_divisor_leq(m_local, budget / (k1 * fp.fwd_bytes()))
+
+
+def auto_jacobian_chunk(cfg, lattice, ham, n_params: Optional[int] = None,
+                        hbm_bytes: Optional[int] = None) -> Optional[int]:
+    """Sample chunk for the materialized SR Jacobian, or None."""
+    hbm = device_hbm_bytes() if hbm_bytes is None else hbm_bytes
+    m_local = _local_walkers(cfg)
+    fp = model_footprint(cfg, lattice.n_sites)
+    budget = _BUDGET_FRACTION * hbm - _persistent_bytes(cfg, n_params,
+                                                        m_local)
+    budget = max(budget, 0.05 * hbm)
+    full = m_local * fp.bwd_bytes()
+    if full <= budget:
+        return None
+    return _largest_pow2_divisor_leq(m_local, budget / fp.bwd_bytes())
+
+
+def _local_walkers(cfg) -> int:
+    n_dev = cfg.run.n_devices
+    if not n_dev:
+        try:
+            n_dev = jax.device_count()
+        except Exception:
+            n_dev = 1
+    return max(1, cfg.sampler.n_walkers // max(1, n_dev))
+
+
+def _persistent_bytes(cfg, n_params: Optional[int], m_local: int) -> float:
+    """Jacobian + Gram + a generous pad for params/opt/walker state."""
+    pad = 256 * 1024**2
+    if not cfg.sr.enabled or cfg.sr.solver == "cg" or not n_params:
+        return pad
+    from qmcnn_tpu.builder import model_log_psi_is_real
+
+    parts = 1 if model_log_psi_is_real(cfg) else 2
+    jac = float(m_local) * n_params * 4.0 * parts
+    gram = 0.0
+    if cfg.sr.solver == "minsr":
+        gram = (parts * m_local) ** 2 * 4.0 * 3.0  # gram + cho workspace
+    if cfg.sr.solver == "dense":
+        gram = float(n_params) ** 2 * 4.0 * 3.0
+    return pad + jac + gram
+
+
+def describe(cfg, lattice, ham, n_params: Optional[int] = None,
+             hbm_bytes: Optional[int] = None) -> str:
+    cs = auto_chunk_size(cfg, lattice, ham, n_params, hbm_bytes)
+    jc = auto_jacobian_chunk(cfg, lattice, ham, n_params, hbm_bytes)
+    return (f"auto-chunking: chunk_size={cs or 'off'} "
+            f"jacobian_chunk={jc or 'off'}")

@@ -169,6 +169,11 @@ run: {{n_steps: 4, log_every: 2, ckpt_every: 2}}
     assert abs(report["magnetization"]) < 1e-6  # S^z=0 sector exactly
     assert len(report["szsz_corr"]) == 8
     np.testing.assert_allclose(report["szsz_corr"][0], 0.25, rtol=1e-5)
+    # fidelity CLI path: a state vs its own checkpoint must be ~1
+    report2 = measure(cfg, str(tmp_path / "ck"), n_samples=1,
+                      sweeps_between=1, therm_sweeps=2,
+                      fidelity_ckpt=str(tmp_path / "ck"))
+    assert 0.9 < report2["fidelity_vs_ckpt"] < 1.1
     ck.close()
 
 
@@ -283,3 +288,64 @@ run: {n_steps: 2, log_every: 1, validate_against_ed: false,
     train(cfg2)
     out2 = capsys.readouterr().out
     assert "may be wedged" not in out2
+
+
+def test_momentum_rejected_for_non_cnn_kinds():
+    """A finite-momentum request must never be silently ignored (ADVICE
+    r1): gcnn/rbm have no momentum projector and must reject it."""
+    from qmcnn_tpu.builder import build_lattice, build_model
+
+    for kind in ("gcnn", "rbm"):
+        cfg = cfglib.Config(
+            name="t",
+            lattice=cfglib.LatticeConfig(shape=(4, 4)),
+            model=cfglib.ModelConfig(kind=kind, channels=(2, 2),
+                                     momentum=(1, 0)),
+        )
+        with pytest.raises(ValueError, match="momentum"):
+            build_model(cfg, build_lattice(cfg))
+    # cnn without translation averaging still rejects
+    cfg = cfglib.Config(
+        name="t",
+        lattice=cfglib.LatticeConfig(shape=(4, 4)),
+        model=cfglib.ModelConfig(kind="cnn", channels=(2, 2),
+                                 momentum=(1, 0),
+                                 translation_average=False),
+    )
+    with pytest.raises(ValueError, match="momentum"):
+        build_model(cfg, build_lattice(cfg))
+
+
+def _max_abs_im(cfg) -> float:
+    vmc, params, lattice = build(cfg)
+    s = (2.0 * jax.random.bernoulli(jax.random.key(5), 0.5,
+                                    (64, lattice.n_sites)) - 1.0
+         ).astype(jnp.float32)
+    out = vmc.log_psi_fn(params, s)
+    return float(jnp.max(jnp.abs(out.im)))
+
+
+@pytest.mark.parametrize("model_kw,expect_real", [
+    (dict(kind="cnn", channels=(3, 3)), True),
+    (dict(kind="cnn", channels=(3, 3), complex_params=True), False),
+    (dict(kind="cnn", channels=(3, 3), spin_flip_sector=1), True),
+    (dict(kind="gcnn", channels=(2, 2)), True),
+    (dict(kind="gcnn", channels=(2, 2), gcnn_character="B1"), False),
+    (dict(kind="rbm", channels=()), True),
+])
+def test_model_log_psi_is_real_predicate_matches_model(model_kw, expect_real):
+    """The builder's real-output predicate (which gates the SR J_im skip)
+    must agree with the actual model: predicate True -> im(log psi) == 0
+    on random inputs; predicate must never claim real for a model with a
+    live imaginary part."""
+    from qmcnn_tpu.builder import model_log_psi_is_real
+
+    cfg = cfglib.Config(
+        name="t",
+        lattice=cfglib.LatticeConfig(shape=(4, 4)),
+        model=cfglib.ModelConfig(param_scale=0.3, **model_kw),
+        hamiltonian=cfglib.HamiltonianConfig(kind="heisenberg"),
+    )
+    assert model_log_psi_is_real(cfg) == expect_real
+    if expect_real:
+        assert _max_abs_im(cfg) == 0.0
