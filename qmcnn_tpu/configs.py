@@ -160,6 +160,16 @@ class RunConfig:
     #: this many seconds (a wedged TPU tunnel otherwise hangs silently —
     #: observed on the tunneled v5e). 0 disables.
     dispatch_warn_s: float = 300.0
+    #: multi-host: call jax.distributed.initialize() before any device use
+    #: (SURVEY.md P3). On TPU pods leave the address/count/id fields null —
+    #: they auto-detect from the pod metadata; for manual process groups
+    #: (e.g. the 2-process CPU integration test) set all three. The walker
+    #: mesh then spans every process's devices and all pmean/psum hooks
+    #: reduce globally; walkers shard by global device order.
+    distributed: bool = False
+    coordinator_address: Optional[str] = None  # "host:port"
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
 
 @dataclass(frozen=True)

@@ -35,6 +35,24 @@ from qmcnn_tpu.vmc import StepMetrics, TrainState, VMC
 AXIS = "dp"
 
 
+def init_distributed(run_cfg) -> None:
+    """Multi-host entry (SURVEY.md P3): ``jax.distributed.initialize()``
+    before first device use. With all address fields null this
+    auto-detects TPU-pod metadata; manual process groups (CPU integration
+    tests, bring-your-own clusters) pass coordinator_address +
+    num_processes + process_id explicitly. After this, ``jax.devices()``
+    spans every process and :func:`walker_mesh` / the pmean hooks are
+    global with no further changes."""
+    kwargs = {}
+    if run_cfg.coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=run_cfg.coordinator_address,
+            num_processes=run_cfg.num_processes,
+            process_id=run_cfg.process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def walker_mesh(n_devices: Optional[int] = None,
                 devices: Optional[Sequence] = None) -> Mesh:
     """1D mesh over the walker axis; defaults to all visible devices."""
@@ -67,16 +85,29 @@ def _state_specs(state: TrainState) -> TrainState:
 
 def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place a host-built TrainState onto the mesh (walkers sharded on
-    'dp', everything else replicated). Total walkers must divide the mesh."""
+    'dp', everything else replicated). Total walkers must divide the mesh.
+
+    Multi-process (SURVEY.md P3): every process builds the same full host
+    state (deterministic from the seed), and each contributes its
+    addressable shards — global arrays are assembled per-shard with
+    ``make_array_from_callback``, so no process ever needs to address
+    another host's devices.
+    """
     n_dev = mesh.shape[AXIS]
     m = state.walkers.s.shape[0]
     if m % n_dev:
         raise ValueError(f"n_walkers={m} not divisible by mesh size {n_dev}")
     specs = _state_specs(state)
-    return jax.tree_util.tree_map(
-        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
-        state, specs,
-    )
+
+    def put(x, spec):
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, state, specs)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)

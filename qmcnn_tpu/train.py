@@ -50,9 +50,13 @@ def train(cfg, ckpt_manager=None, logger=None):
     sharded, params, lattice = build_sharded(cfg)
     n_sites = lattice.n_sites
     m = cfg.sampler.n_walkers
-    logger = logger or MetricsLogger(csv_path=cfg.run.csv_path,
-                                     print_every=cfg.run.log_every,
-                                     tensorboard_dir=cfg.run.tensorboard_dir)
+    # under multi-host every process computes identical (pmean-replicated)
+    # metrics; only process 0 writes/prints them
+    is_main = jax.process_index() == 0
+    logger = logger or MetricsLogger(
+        csv_path=cfg.run.csv_path if is_main else None,
+        print_every=cfg.run.log_every if is_main else 0,
+        tensorboard_dir=cfg.run.tensorboard_dir if is_main else None)
 
     resuming = (ckpt_manager is not None
                 and ckpt_manager.latest_step() is not None)
@@ -169,12 +173,13 @@ def train(cfg, ckpt_manager=None, logger=None):
     if ckpt_manager is not None:
         ckpt_manager.save(cfg.run.n_steps, state)
 
-    e_tail, e_err = logger.tail_energy()
-    print(f"final energy (tail mean): {e_tail:.6f} +- {e_err:.6f}"
-          f"  ({e_tail / n_sites:.6f}/site)")
-    if e_exact is not None:
-        rel = abs(e_tail - e_exact) / abs(e_exact)
-        print(f"exact: {e_exact:.6f}  relative error: {rel:.3e}")
+    if is_main:
+        e_tail, e_err = logger.tail_energy()
+        print(f"final energy (tail mean): {e_tail:.6f} +- {e_err:.6f}"
+              f"  ({e_tail / n_sites:.6f}/site)")
+        if e_exact is not None:
+            rel = abs(e_tail - e_exact) / abs(e_exact)
+            print(f"exact: {e_exact:.6f}  relative error: {rel:.3e}")
     return state, logger
 
 
@@ -187,8 +192,15 @@ def main(argv=None):
                    metavar="section.key=value")
     args = p.parse_args(argv)
     cfg = cfglib.load(args.config, tuple(args.override))
-    print(f"=== {cfg.name} ===")
-    print(cfglib.to_yaml(cfg))
+    if cfg.run.distributed:
+        # must run before first device use: afterwards jax.devices() spans
+        # every process and the walker mesh / collectives are global
+        from qmcnn_tpu.parallel.mesh import init_distributed
+
+        init_distributed(cfg.run)
+    if jax.process_index() == 0:
+        print(f"=== {cfg.name} ===")
+        print(cfglib.to_yaml(cfg))
     ckpt = None
     if cfg.run.ckpt_dir:
         from qmcnn_tpu.utils.checkpoint import CheckpointManager

@@ -95,7 +95,7 @@ class MetricsLogger:
                 for k, v in row.items():
                     if k != "step":
                         tf.summary.scalar(k, v, step=step)
-        if step % self.print_every == 0:
+        if self.print_every and step % self.print_every == 0:
             parts = " ".join(
                 f"{k}={v:+.5f}" if isinstance(v, float) else f"{k}={v}"
                 for k, v in row.items() if k not in ("wall_time",)
