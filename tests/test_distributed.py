@@ -30,7 +30,7 @@ def build(axis_name, move="flip", sr=None):
         return log_psi_apply(model, p, s)
 
     params = model.init(jax.random.key(0), jnp.ones((1, N), jnp.float32))
-    bonds = lat.nn_bonds if move == "exchange" else None
+    bonds = lat.nn_bonds if move.startswith("exchange") else None
     sampler = MetropolisSampler(log_psi_fn, n_sites=N, move=move, bonds=bonds)
     vmc = VMC(log_psi_fn=log_psi_fn, ham=ham, sampler=sampler,
               optimizer=optax.sgd(0.02), n_sweeps=1, sr=sr,
@@ -42,7 +42,7 @@ def flat(tree):
     return np.asarray(jax.flatten_util.ravel_pytree(tree)[0])
 
 
-@pytest.mark.parametrize("move", ["flip", "exchange"])
+@pytest.mark.parametrize("move", ["flip", "exchange", "exchange_anti"])
 def test_sharded_step_matches_single_device(eight_devices, move):
     mesh = walker_mesh(8)
     vmc1, params = build(axis_name=None, move=move)
@@ -201,3 +201,51 @@ def test_sharded_gcnn_matches_single_device(eight_devices):
                                    rtol=2e-5, atol=1e-5)
         np.testing.assert_allclose(flat(state1.params), flat(state8.params),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_sharded_gcnn_minsr_hero_path_matches_single_device(eight_devices):
+    """The production J1-J2 hero path — complex GCNN + spin-parity
+    projection + exchange_anti moves + distributed minSR — must be
+    walker-for-walker and parameter-identical to the single-device run
+    (VERDICT r1 item 7: every hero path gets a sharded-equality
+    guarantee)."""
+    from qmcnn_tpu.lattice import square
+    from qmcnn_tpu.models.gcnn import LogPsiGCNN, SpinFlipSymmetrized
+
+    lat = square(4, 4)
+    ham = Heisenberg(lat, j2=0.5)
+    model = SpinFlipSymmetrized(
+        inner=LogPsiGCNN(lattice_shape=(4, 4), channels=(2, 2),
+                         complex_params=True, param_scale=0.1),
+        sector=1)
+
+    def log_psi_fn(p, s):
+        return log_psi_apply(model, p, s)
+
+    params = model.init(jax.random.key(0), jnp.ones((1, 16), jnp.float32))
+    sr = SR(solver="minsr", diag_shift0=0.1, diag_shift_decay=1.0,
+            diag_shift_min=0.1)
+
+    def make(axis_name):
+        sampler = MetropolisSampler(log_psi_fn, n_sites=16,
+                                    move="exchange_anti",
+                                    bonds=lat.nn_bonds)
+        return VMC(log_psi_fn=log_psi_fn, ham=ham, sampler=sampler,
+                   optimizer=optax.sgd(0.02), n_sweeps=1, sr=sr,
+                   axis_name=axis_name)
+
+    mesh = walker_mesh(8)
+    vmc1, vmc8 = make(None), make("dp")
+    state1 = vmc1.init_state(jax.random.key(1), M, params)
+    sharded = make_sharded_vmc(vmc8, mesh, state1)
+    state8 = sharded.init_state(jax.random.key(1), M, params)
+    for it in range(2):
+        key = jax.random.fold_in(jax.random.key(11), it)
+        state1, m1 = jax.jit(vmc1.step)(state1, key, jnp.arange(M))
+        state8, m8 = sharded.step(state8, key)
+        np.testing.assert_array_equal(np.asarray(state1.walkers.s),
+                                      np.asarray(state8.walkers.s))
+        np.testing.assert_allclose(float(m1.energy_re), float(m8.energy_re),
+                                   rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(flat(state1.params), flat(state8.params),
+                                   rtol=5e-4, atol=5e-6)
