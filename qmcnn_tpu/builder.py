@@ -181,6 +181,19 @@ def build_sr(cfg: Config, lattice=None, ham=None,
     s = cfg.sr
     if not s.enabled:
         return None
+    solver = s.solver
+    if solver == "auto":
+        if n_params is None:
+            raise ValueError("sr.solver='auto' needs the built model's "
+                             "n_params to resolve (use builder.build)")
+        from qmcnn_tpu.sr import resolve_solver
+
+        solver = resolve_solver(solver, cfg.sampler.n_walkers, n_params,
+                                model_log_psi_is_real(cfg))
+        # the memory estimator keys off the *resolved* solver
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, sr=_dc.replace(s, solver=solver))
     jacobian_chunk = s.jacobian_chunk
     if jacobian_chunk is None and lattice is not None and ham is not None:
         from qmcnn_tpu.utils import memory
@@ -188,7 +201,7 @@ def build_sr(cfg: Config, lattice=None, ham=None,
         jacobian_chunk = memory.auto_jacobian_chunk(cfg, lattice, ham,
                                                     n_params)
     return SR(
-        solver=s.solver,
+        solver=solver,
         diag_shift0=s.diag_shift0,
         diag_shift_decay=s.diag_shift_decay,
         diag_shift_min=s.diag_shift_min,

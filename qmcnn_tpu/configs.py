@@ -113,7 +113,14 @@ class OptimizerConfig:
 @dataclass(frozen=True)
 class SRConfig:
     enabled: bool = False
-    solver: str = "pcg"  # pcg | cg | dense | minsr (sample-space, P>>M)
+    #: pcg | cg | dense | minsr (sample-space, P>>M) | auto.
+    #: 'auto' resolves at build time by the documented cutover (sr.py
+    #: resolve_solver): minsr when the sample-space system is smaller
+    #: (parts*M_total <= P — exact solve, Gram fits, and under a mesh its
+    #: all_gather ships parts*M_total*P floats over ICI, cheaper than
+    #: pcg's cg_maxiter psum(P) round trips precisely in that regime);
+    #: pcg otherwise.
+    solver: str = "pcg"
     diag_shift0: float = 1.0
     diag_shift_decay: float = 0.95
     diag_shift_min: float = 1e-2

