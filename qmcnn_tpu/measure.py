@@ -27,7 +27,8 @@ from qmcnn_tpu.utils.metrics import binned_stderr
 def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             sweeps_between: int = 2, therm_sweeps: int = 20,
             fidelity_ckpt: str | None = None,
-            fidelity_step: int | None = None):
+            fidelity_step: int | None = None,
+            lanczos: bool = False):
     sharded, params, lattice = build_sharded(cfg)
     vmc = sharded.vmc
     key = jax.random.key(cfg.run.seed + 12345)
@@ -80,6 +81,24 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
                 observables.szsz_correlation(walkers.s, lattice),
                 ss_nn.re)
 
+    lz_e1, lz_g = [], []
+    if lanczos:
+        from qmcnn_tpu.ops.lanczos import h_moment_samples
+
+        # chunk so the [chunk * K, N] E_loc-of-connected batch stays
+        # bounded — this pass costs K x a normal local-energy pass
+        k_conn = vmc.ham.n_conn
+        m_local = cfg.sampler.n_walkers
+        chunk = max(1, min(m_local, 4096 // max(1, k_conn)))
+        while m_local % chunk:
+            chunk -= 1
+
+        @jax.jit
+        def lanczos_once(state):
+            return h_moment_samples(vmc.log_psi_fn, state.params, vmc.ham,
+                                    state.walkers.s, state.walkers.log_psi,
+                                    chunk_size=chunk)
+
     for i in range(n_samples):
         state = sharded.thermalize(state, jax.random.fold_in(key, 100 + i),
                                    n_sweeps=sweeps_between)
@@ -89,6 +108,10 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         mst_trace.append(float(mst))
         ss_trace.append(float(ss_nn))
         corr_acc += np.asarray(corr)
+        if lanczos:
+            e1_i, g_i = lanczos_once(state)
+            lz_e1.append(np.asarray(e1_i.to_numpy()))
+            lz_g.append(np.asarray(g_i.to_numpy()))
 
     fid = None
     if fidelity_ckpt is not None:
@@ -125,6 +148,20 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
     }
     if fid is not None:
         report["fidelity_vs_ckpt"] = fid
+    if lanczos:
+        from qmcnn_tpu.ops import cplx
+        from qmcnn_tpu.ops.lanczos import lanczos_step, moments_from_samples
+
+        e1 = np.concatenate(lz_e1)
+        g = np.concatenate(lz_g)
+        h1, h2, h3 = moments_from_samples(
+            cplx.C(e1.real.astype(np.float32), e1.imag.astype(np.float32)),
+            cplx.C(g.real.astype(np.float32), g.imag.astype(np.float32)))
+        alpha, e_lz, _ = lanczos_step(h1, h2, h3)
+        report["lanczos_alpha"] = alpha
+        report["lanczos_energy"] = e_lz
+        report["lanczos_energy_per_site"] = e_lz / n
+        report["lanczos_gain_per_site"] = (e_lz - report["energy"]) / n
     return report
 
 
@@ -138,13 +175,18 @@ def main(argv=None):
                    help="second checkpoint dir: report the MC fidelity "
                         "|<psi1|psi2>|^2 between the two states")
     p.add_argument("--fidelity-step", type=int, default=None)
+    p.add_argument("--lanczos-step", action="store_true",
+                   help="also report the Lanczos-step refined variational "
+                        "energy of (1 + alpha H) psi (ops/lanczos.py; "
+                        "costs K extra local-energy passes per sample)")
     p.add_argument("--override", action="append", default=[])
     args = p.parse_args(argv)
     cfg = cfglib.load(args.config, tuple(args.override))
     report = measure(cfg, args.ckpt_dir, n_samples=args.n_samples,
                      sweeps_between=args.sweeps_between,
                      fidelity_ckpt=args.fidelity_ckpt,
-                     fidelity_step=args.fidelity_step)
+                     fidelity_step=args.fidelity_step,
+                     lanczos=args.lanczos_step)
     print(json.dumps({k: v for k, v in report.items() if k != "szsz_corr"},
                      indent=2))
     print("szsz_corr:", np.array2string(np.asarray(report["szsz_corr"]),

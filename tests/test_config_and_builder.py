@@ -169,6 +169,14 @@ run: {{n_steps: 4, log_every: 2, ckpt_every: 2}}
     assert abs(report["magnetization"]) < 1e-6  # S^z=0 sector exactly
     assert len(report["szsz_corr"]) == 8
     np.testing.assert_allclose(report["szsz_corr"][0], 0.25, rtol=1e-5)
+    # lanczos-step path: refined energy must be a finite improvement
+    # (strict for this barely-trained state, which is far from an
+    # eigenstate) and alpha nonzero
+    report_lz = measure(cfg, str(tmp_path / "ck"), n_samples=2,
+                        sweeps_between=1, therm_sweeps=2, lanczos=True)
+    assert np.isfinite(report_lz["lanczos_energy"])
+    assert report_lz["lanczos_energy"] < report_lz["energy"]
+    assert report_lz["lanczos_alpha"] != 0.0
     # fidelity CLI path: a state vs its own checkpoint must be ~1
     report2 = measure(cfg, str(tmp_path / "ck"), n_samples=1,
                       sweeps_between=1, therm_sweeps=2,
