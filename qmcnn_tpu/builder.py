@@ -210,6 +210,7 @@ def build_sr(cfg: Config, lattice=None, ham=None,
         cg_maxiter=s.cg_maxiter,
         jacobian_chunk=jacobian_chunk,
         real_log_psi=model_log_psi_is_real(cfg),
+        minsr_assembly=s.minsr_assembly,
     )
 
 

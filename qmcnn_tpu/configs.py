@@ -128,6 +128,9 @@ class SRConfig:
     cg_tol: float = 1e-4
     cg_maxiter: int = 200
     jacobian_chunk: Optional[int] = None
+    #: distributed-minSR Gram assembly: 'gather' (default) or 'ring'
+    #: (ppermute; O(M_local x P) peak memory — for very large P)
+    minsr_assembly: str = "gather"
 
 
 @dataclass(frozen=True)

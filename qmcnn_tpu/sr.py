@@ -365,6 +365,11 @@ class SR:
     cg_maxiter: int = 100
     jacobian_chunk: Optional[int] = None
     real_log_psi: bool = False
+    #: distributed-minSR Gram assembly: 'gather' (all_gather the score
+    #: matrix; fastest at moderate P) or 'ring' (ppermute score shards;
+    #: never materializes [2M_tot, P] — the P-scaling path). Identical
+    #: results (tested); single-device solves ignore it.
+    minsr_assembly: str = "gather"
 
     def diag_shift(self, step: Array) -> Array:
         return jnp.maximum(
@@ -416,32 +421,73 @@ class SR:
                     e_loc.re - _pmean(e_loc.re.mean(), axis_name),
                     e_loc.im - _pmean(e_loc.im.mean(), axis_name),
                 ])
+            b, unravel = jax.flatten_util.ravel_pytree(grads)
             if axis_name is None:
-                o_full, eps = o_local, eps_local
+                two_m = o_local.shape[0]
                 m_total = op.m_local
-            else:
-                # distributed minSR: gather the score rows over the mesh
-                # (2M*P floats over ICI), split the Gram compute by columns,
-                # psum the final P-sized contraction.
+                gram = (o_local @ o_local.T) / m_total
+                gram = gram + shift * jnp.eye(two_m)
+                y = jax.scipy.linalg.cho_solve(
+                    jax.scipy.linalg.cho_factor(gram), eps_local)
+                delta = (y @ o_local) / m_total  # [P]
+                s_delta = (o_local.T @ (o_local @ delta)) / m_total
+            elif self.minsr_assembly == "gather":
+                # distributed minSR, gather assembly: ship the full score
+                # matrix (2M_tot * P floats over ICI), split the Gram
+                # compute by columns. Simple and fastest at moderate P;
+                # peak memory O(2M_tot * P) per chip.
                 o_full = jax.lax.all_gather(o_local, axis_name, axis=0,
                                             tiled=True)   # [2M_tot, P]
                 eps = jax.lax.all_gather(eps_local, axis_name, axis=0,
                                          tiled=True)      # [2M_tot]
                 m_total = op.m_local * jax.lax.axis_size(axis_name)
-            two_m = o_full.shape[0]
-            if axis_name is None:
-                gram = (o_full @ o_full.T) / m_total
-            else:
+                two_m = o_full.shape[0]
                 cols = (o_full @ o_local.T) / m_total  # [2M_tot, 2M_loc]
-                gram = jax.lax.all_gather(
-                    cols, axis_name, axis=1, tiled=True)
-            gram = gram + shift * jnp.eye(two_m)
-            y = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(gram), eps)
-            delta = (y @ o_full) / m_total  # [P]
+                gram = jax.lax.all_gather(cols, axis_name, axis=1,
+                                          tiled=True)
+                gram = gram + shift * jnp.eye(two_m)
+                y = jax.scipy.linalg.cho_solve(
+                    jax.scipy.linalg.cho_factor(gram), eps)
+                delta = (y @ o_full) / m_total  # [P]
+                s_delta = (o_full.T @ (o_full @ delta)) / m_total
+            else:
+                # 'ring' assembly (the P-scaling path): the [2M_tot, P]
+                # score matrix is NEVER materialized — score shards hop
+                # the ring (ppermute), each chip building its Gram block
+                # row from the shard it currently holds. Same total ICI
+                # bytes as the gather, but peak memory drops to
+                # O(2M_loc * P + (2M_tot)^2): in minSR's P >> M regime
+                # that is the difference between fitting and OOM.
+                n_dev = jax.lax.axis_size(axis_name)
+                idx = jax.lax.axis_index(axis_name)
+                m2 = o_local.shape[0]            # 2M_loc (M_loc real)
+                m_total = op.m_local * n_dev
+                perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+                def hop(r, carry):
+                    o_rot, row = carry
+                    src = (idx - r) % n_dev      # shard currently held
+                    block = o_local @ o_rot.T    # Gram block (idx, src)
+                    row = jax.lax.dynamic_update_slice(
+                        row, block, (0, src * m2))
+                    return jax.lax.ppermute(o_rot, axis_name, perm), row
+
+                row0 = jnp.zeros((m2, m2 * n_dev), o_local.dtype)
+                _, row = jax.lax.fori_loop(0, n_dev, hop, (o_local, row0))
+                gram = jax.lax.all_gather(row / m_total, axis_name,
+                                          axis=0, tiled=True)
+                two_m = m2 * n_dev
+                eps = jax.lax.all_gather(eps_local, axis_name, axis=0,
+                                         tiled=True)
+                gram = gram + shift * jnp.eye(two_m)
+                y = jax.scipy.linalg.cho_solve(
+                    jax.scipy.linalg.cho_factor(gram), eps)
+                y_local = jax.lax.dynamic_slice(y, (idx * m2,), (m2,))
+                delta = jax.lax.psum(y_local @ o_local, axis_name) / m_total
+                s_delta = jax.lax.psum(
+                    o_local.T @ (o_local @ delta), axis_name) / m_total
             # report the parameter-space residual ||(S+shift)d - F|| / ||F||
-            b, unravel = jax.flatten_util.ravel_pytree(grads)
-            s_delta = (o_full.T @ (o_full @ delta)) / m_total + shift * delta
+            s_delta = s_delta + shift * delta
             resid = jnp.linalg.norm(s_delta - b) / jnp.maximum(
                 jnp.linalg.norm(b), 1e-30)
             return unravel(delta), jnp.zeros((), jnp.int32), resid

@@ -3,6 +3,8 @@ materialized S on a small net, CG vs np.linalg.solve, and the shift
 schedule."""
 import dataclasses
 
+import pytest
+
 import jax
 import jax.flatten_util
 import jax.numpy as jnp
@@ -325,3 +327,72 @@ def test_auto_solver_through_builder():
         cfg, sampler=cfglib.SamplerConfig(n_walkers=2048))
     vmc2, _, _ = build(cfg2)
     assert vmc2.sr.solver == "pcg"
+
+
+@pytest.mark.parametrize("real_mode", [False, True])
+def test_minsr_ring_assembly_matches_gather(real_mode):
+    """'ring' (ppermute block) distributed minSR == 'gather' == the
+    single-device solve, for both complex and real-J_im-skip modes."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from qmcnn_tpu.ops.cplx import C
+    from qmcnn_tpu.parallel.mesh import walker_mesh
+
+    v, log_psi_fn, s = setup(complex_params=not real_mode)
+    rng = np.random.default_rng(13)
+    de_re = rng.normal(size=M).astype(np.float32)
+    de_im = (np.zeros(M, np.float32) if real_mode
+             else rng.normal(size=M).astype(np.float32))
+    de_re -= de_re.mean()
+    de_im -= de_im.mean()
+    e_loc = C(jnp.asarray(de_re), jnp.asarray(de_im))
+    # grads consistent with e_loc (F = O~^T eps / M), so the reported
+    # parameter-space residual is meaningful and must be small
+    flatp, unravel2 = jax.flatten_util.ravel_pytree(v)
+
+    def f_re(fp, si):
+        return log_psi_fn(unravel2(fp), si[None, :]).re[0]
+
+    def f_im(fp, si):
+        return log_psi_fn(unravel2(fp), si[None, :]).im[0]
+
+    j_re = np.asarray(jax.vmap(jax.grad(f_re), (None, 0))(flatp, s))
+    j_re = j_re - j_re.mean(0, keepdims=True)
+    j_im = np.asarray(jax.vmap(jax.grad(f_im), (None, 0))(flatp, s))
+    j_im = j_im - j_im.mean(0, keepdims=True)
+    f_vec = (j_re.T @ de_re + j_im.T @ de_im) / M
+    grads = unravel2(jnp.asarray(f_vec.astype(np.float32)))
+
+    kw = dict(solver="minsr", diag_shift0=0.1, diag_shift_decay=1.0,
+              diag_shift_min=0.1, real_log_psi=real_mode)
+    want, _, _ = SR(**kw).solve(log_psi_fn, v, s, grads, jnp.asarray(0),
+                                e_loc=e_loc)
+
+    mesh = walker_mesh(8)
+    grads_spec = jax.tree_util.tree_map(lambda _: P(), grads)
+    v_spec = jax.tree_util.tree_map(lambda _: P(), v)
+    deltas = {}
+    for assembly in ("gather", "ring"):
+        sr = SR(minsr_assembly=assembly, **kw)
+
+        def local(vv, ss, gg, ee):
+            d, _, res = sr.solve(log_psi_fn, vv, ss, gg, jnp.asarray(0),
+                                 axis_name="dp", e_loc=ee)
+            return d, res
+
+        f = shard_map(
+            local, mesh=mesh,
+            in_specs=(v_spec, P("dp"), grads_spec, C(P("dp"), P("dp"))),
+            out_specs=(grads_spec, P()), check_vma=False,
+        )
+        got, res = jax.jit(f)(v, s, grads, e_loc)
+        assert float(res) < 1e-3
+        deltas[assembly], _ = jax.flatten_util.ravel_pytree(got)
+
+    wflat, _ = jax.flatten_util.ravel_pytree(want)
+    np.testing.assert_allclose(np.asarray(deltas["gather"]),
+                               np.asarray(wflat), rtol=5e-3, atol=1e-6)
+    # ring vs gather: same math, different reduction order only
+    np.testing.assert_allclose(np.asarray(deltas["ring"]),
+                               np.asarray(deltas["gather"]),
+                               rtol=1e-4, atol=1e-6)
