@@ -170,6 +170,13 @@ class RunConfig:
     #: this many seconds (a wedged TPU tunnel otherwise hangs silently —
     #: observed on the tunneled v5e). 0 disables.
     dispatch_warn_s: float = 300.0
+    #: liveness file for the wedge-recovery supervisor (qmcnn_tpu.supervise):
+    #: after every completed dispatch train() rewrites this file with
+    #: "<step> <unix-time>". The supervisor watches its mtime and
+    #: kills+restarts a child whose heartbeat goes stale (the run resumes
+    #: from ckpt_dir). Null = no heartbeat. Normally set by the supervisor
+    #: via --override, not by hand.
+    heartbeat_path: Optional[str] = None
     #: multi-host: call jax.distributed.initialize() before any device use
     #: (SURVEY.md P3). On TPU pods leave the address/count/id fields null —
     #: they auto-detect from the pod metadata; for manual process groups

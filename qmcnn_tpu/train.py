@@ -45,6 +45,22 @@ def exact_reference_energy(cfg) -> Optional[float]:
     return exact.ground_energy(sp)
 
 
+def _heartbeat(path: Optional[str], step: int) -> None:
+    """Liveness marker for qmcnn_tpu.supervise: '<step> <unix-time>'.
+
+    Rewritten after every completed dispatch; the supervisor watches the
+    mtime and restarts the run (from its checkpoint) if it goes stale.
+    Best-effort — a failed write must never kill training.
+    """
+    if not path:
+        return
+    try:
+        with open(path, "w") as f:
+            f.write(f"{step} {time.time()}\n")
+    except OSError:
+        pass
+
+
 def train(cfg, ckpt_manager=None, logger=None):
     """Run the configured experiment; returns (final state, logger)."""
     sharded, params, lattice = build_sharded(cfg)
@@ -96,6 +112,8 @@ def train(cfg, ckpt_manager=None, logger=None):
             return fn(state, key)
 
     it = start_step
+    hb_path = cfg.run.heartbeat_path if is_main else None
+    _heartbeat(hb_path, it)
     steps_per_dispatch = cfg.run.steps_per_dispatch
     if steps_per_dispatch <= 0:
         # auto-size: measure one single-step dispatch (after compile) and
@@ -113,6 +131,7 @@ def train(cfg, ckpt_manager=None, logger=None):
         dt1 = max(time.perf_counter() - t0, 1e-6)
         it = min(it + 2, cfg.run.n_steps)
         steps_per_dispatch = max(1, min(100, int(40.0 / dt1)))
+        _heartbeat(hb_path, it)
         print(f"auto steps_per_dispatch: per-step {dt1:.3f}s (first incl. "
               f"compile {compile_and_step:.1f}s) -> {steps_per_dispatch}")
 
@@ -141,6 +160,7 @@ def train(cfg, ckpt_manager=None, logger=None):
             if watchdog is not None:
                 watchdog.cancel()
         dt = (time.perf_counter() - t0) / chunk
+        _heartbeat(hb_path, it + chunk)
         e_re = np.asarray(metrics.energy_re)
         e_im = np.asarray(metrics.energy_im)
         e_var = np.asarray(metrics.energy_var)

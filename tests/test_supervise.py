@@ -1,0 +1,127 @@
+"""Wedge-recovery supervisor (qmcnn_tpu/supervise.py; SURVEY.md §5
+"failure detection / recovery").
+
+The stall/restart logic is exercised against stub child processes that
+script the observed production failure modes (heartbeat goes stale mid-run;
+child never produces a first beat; hard crash loop), plus an end-to-end
+check that train() actually emits the heartbeat file the supervisor needs.
+"""
+import os
+import stat
+import sys
+import textwrap
+
+from qmcnn_tpu import configs as cfglib
+from qmcnn_tpu.supervise import Supervisor, read_heartbeat
+
+
+def _stub(tmp_path, name, body):
+    """Write an executable python stub; argv[1]=heartbeat, argv[2]=statedir."""
+    path = tmp_path / name
+    path.write_text(textwrap.dedent(f"""\
+        import os, sys, time
+        hb = sys.argv[1]
+        state = sys.argv[2]
+        def beat(step):
+            with open(hb, "w") as f:
+                f.write(f"{{step}} {{time.time()}}\\n")
+        {textwrap.indent(textwrap.dedent(body), '        ').strip()}
+        """))
+    path.chmod(path.stat().st_mode | stat.S_IEXEC)
+    return str(path)
+
+
+def _run(tmp_path, body, **kw):
+    hb = str(tmp_path / "hb")
+    script = _stub(tmp_path, "child.py", body)
+    argv = [sys.executable, script, hb, str(tmp_path)]
+    sup = Supervisor(argv, hb, poll_s=0.1, log=lambda *a: None, **kw)
+    return sup.run(), hb
+
+
+def test_clean_first_try(tmp_path):
+    rc, _ = _run(tmp_path, """
+        beat(1); beat(2)
+        sys.exit(0)
+    """, stall_timeout=60, startup_timeout=60, max_restarts=1)
+    assert rc == 0
+
+
+def test_stall_then_resume_finishes(tmp_path):
+    # First child beats to step 3 then wedges (sleeps forever); the
+    # restarted child sees the marker file ("checkpoint"), resumes, exits 0.
+    rc, hb = _run(tmp_path, """
+        marker = os.path.join(state, "ckpt_marker")
+        if os.path.exists(marker):
+            beat(6)
+            sys.exit(0)
+        open(marker, "w").close()
+        beat(3)
+        time.sleep(600)
+    """, stall_timeout=1.0, startup_timeout=30, max_restarts=2)
+    assert rc == 0
+    assert read_heartbeat(hb)[0] == 6
+
+
+def test_no_first_heartbeat_is_killed(tmp_path):
+    # Child never beats (wedged inside compile); second attempt succeeds.
+    rc, _ = _run(tmp_path, """
+        marker = os.path.join(state, "ckpt_marker")
+        if os.path.exists(marker):
+            beat(1)
+            sys.exit(0)
+        open(marker, "w").close()
+        time.sleep(600)
+    """, stall_timeout=60, startup_timeout=10, max_restarts=3)
+    assert rc == 0
+
+
+def test_crash_loop_gives_up(tmp_path):
+    rc, _ = _run(tmp_path, """
+        sys.exit(3)
+    """, stall_timeout=5, startup_timeout=5, max_restarts=2)
+    assert rc == 1
+
+
+def test_progress_refunds_restart_budget(tmp_path):
+    # Each child advances one step past the last, then wedges; with
+    # max_restarts=1 (one no-progress restart allowed) the run still
+    # reaches the finishing child because every restart made progress.
+    rc, hb = _run(tmp_path, """
+        cnt = os.path.join(state, "count")
+        n = int(open(cnt).read()) if os.path.exists(cnt) else 0
+        open(cnt, "w").write(str(n + 1))
+        beat(n + 1)
+        if n + 1 >= 4:
+            sys.exit(0)
+        time.sleep(600)
+    """, stall_timeout=1.0, startup_timeout=30, max_restarts=1)
+    assert rc == 0
+    assert read_heartbeat(hb)[0] == 4
+
+
+def test_train_emits_heartbeat(tmp_path):
+    """End-to-end: train() rewrites run.heartbeat_path after dispatches."""
+    from qmcnn_tpu.train import train
+
+    hb = tmp_path / "hb"
+    cfg = cfglib.from_yaml(f"""
+name: hbsmoke
+lattice: {{shape: [8]}}
+model: {{channels: [4]}}
+hamiltonian: {{kind: tfim, h: 1.0}}
+sampler: {{n_walkers: 32, move: flip, n_therm_sweeps: 2}}
+optimizer: {{kind: sgd, lr: 0.05}}
+run: {{n_steps: 4, steps_per_dispatch: 2, log_every: 2,
+       heartbeat_path: '{hb}', validate_against_ed: false}}
+""")
+    train(cfg)
+    step, _mtime = read_heartbeat(str(hb))
+    assert step == 4
+
+
+def test_read_heartbeat_robust(tmp_path):
+    assert read_heartbeat(str(tmp_path / "missing")) is None
+    bad = tmp_path / "bad"
+    bad.write_text("not-a-step\n")
+    assert read_heartbeat(str(bad)) is None
