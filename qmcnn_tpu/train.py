@@ -11,6 +11,7 @@ ED ground energy (the BASELINE acceptance metric).
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from typing import Optional
 
@@ -200,7 +201,48 @@ def train(cfg, ckpt_manager=None, logger=None):
         if e_exact is not None:
             rel = abs(e_tail - e_exact) / abs(e_exact)
             print(f"exact: {e_exact:.6f}  relative error: {rel:.3e}")
+        if cfg.run.csv_path:
+            _write_manifest(cfg, e_tail, e_err, e_exact, n_sites)
     return state, logger
+
+
+def _write_manifest(cfg, e_tail, e_err, e_exact, n_sites) -> None:
+    """Provenance sidecar '<csv_path>.meta.json' (SURVEY.md §5
+    observability): everything needed to reproduce or audit a run —
+    the resolved config, code revision, software/device environment,
+    and the headline result. Best-effort: never fails the run."""
+    import json
+    import subprocess
+
+    try:
+        rev = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip() or None
+    except Exception:
+        rev = None
+    try:
+        dev = jax.devices()[0]
+        manifest = {
+            "name": cfg.name,
+            "config": cfglib.to_yaml(cfg),
+            "git_rev": rev,
+            "jax_version": jax.__version__,
+            "platform": dev.platform,
+            "n_devices": jax.device_count(),
+            "n_processes": jax.process_count(),
+            "finished_unix": time.time(),
+            "final_energy_tail": e_tail,
+            "final_energy_stderr": e_err,
+            "e_per_site": e_tail / n_sites,
+            "e_exact": e_exact,
+            "rel_err": (abs(e_tail - e_exact) / abs(e_exact)
+                        if e_exact is not None else None),
+        }
+        with open(cfg.run.csv_path + ".meta.json", "w") as f:
+            json.dump(manifest, f, indent=1)
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"# manifest write failed: {e}", flush=True)
 
 
 def main(argv=None):

@@ -107,7 +107,9 @@ class MetricsLogger:
         e = np.asarray(self.history.get("energy_re", []))
         if e.size == 0:
             return float("nan"), float("nan")
-        tail = e[int(e.size * (1 - frac)):]
+        # keep >= 2 points when the trace has them, so the stderr is finite
+        start = min(int(e.size * (1 - frac)), max(e.size - 2, 0))
+        tail = e[start:]
         return float(tail.mean()), binned_stderr(tail)
 
     def close(self):

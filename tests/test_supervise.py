@@ -113,11 +113,21 @@ hamiltonian: {{kind: tfim, h: 1.0}}
 sampler: {{n_walkers: 32, move: flip, n_therm_sweeps: 2}}
 optimizer: {{kind: sgd, lr: 0.05}}
 run: {{n_steps: 4, steps_per_dispatch: 2, log_every: 2,
-       heartbeat_path: '{hb}', validate_against_ed: false}}
+       heartbeat_path: '{hb}', csv_path: '{tmp_path}/m.csv',
+       validate_against_ed: true}}
 """)
     train(cfg)
     step, _mtime = read_heartbeat(str(hb))
     assert step == 4
+    # provenance manifest sidecar written next to the CSV
+    import json
+
+    with open(tmp_path / "m.csv.meta.json") as f:
+        meta = json.load(f)
+    assert meta["name"] == "hbsmoke"
+    assert meta["jax_version"]
+    assert meta["rel_err"] is not None
+    assert "n_walkers: 32" in meta["config"]
 
 
 def test_read_heartbeat_robust(tmp_path):
