@@ -62,12 +62,23 @@ class Supervisor:
     startup_timeout: seconds allowed before the *first* beat of each child
         (covers the one-time XLA compile, minutes on the tunneled TPU).
     max_restarts: restarts allowed without step progress before giving up.
+    device_wait: if > 0, before each attempt probe the accelerator with
+        ``device_probe_cmd`` and hold the launch (without consuming restart
+        budget) until the probe succeeds or ``device_wait`` seconds pass.
+        This exists for the observed wedged-chip mode: after a TPU-worker
+        crash the backend refuses to initialize for tens of minutes, and
+        each doomed child burns ~25 min of backend-init timeout plus one
+        restart from the budget. Probes are cheap when the chip is healthy
+        and keep the budget intact while it is not.
     """
 
     def __init__(self, argv: Sequence[str], heartbeat_path: str,
                  stall_timeout: float = 900.0,
                  startup_timeout: float = 1800.0,
                  max_restarts: int = 5, poll_s: float = 5.0,
+                 device_wait: float = 0.0,
+                 device_probe_cmd: Optional[Sequence[str]] = None,
+                 probe_timeout: float = 1800.0,
                  log=print):
         self.argv = list(argv)
         self.heartbeat_path = heartbeat_path
@@ -75,7 +86,46 @@ class Supervisor:
         self.startup_timeout = startup_timeout
         self.max_restarts = max_restarts
         self.poll_s = poll_s
+        self.device_wait = device_wait
+        self.device_probe_cmd = (
+            list(device_probe_cmd) if device_probe_cmd is not None else
+            [sys.executable, "-c",
+             "import jax; assert len(jax.devices()) > 0"])
+        self.probe_timeout = probe_timeout
         self.log = log
+
+    def _wait_for_device(self) -> None:
+        """Block until the accelerator answers a probe (or budget expires).
+
+        Never raises; a still-dead device after ``device_wait`` seconds
+        falls through to a normal attempt (which then fails and counts).
+        """
+        if self.device_wait <= 0:
+            return
+        deadline = time.monotonic() + self.device_wait
+        first = True
+        while True:
+            try:
+                rc = subprocess.run(
+                    self.device_probe_cmd, timeout=self.probe_timeout,
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL).returncode
+            except subprocess.TimeoutExpired:
+                rc = -1
+            if rc == 0:
+                if not first:
+                    self.log("supervise: device probe OK — launching")
+                return
+            first = False
+            if time.monotonic() > deadline:
+                self.log(f"supervise: device still unavailable after "
+                         f"{self.device_wait:.0f}s of probing — launching "
+                         "anyway")
+                return
+            self.log("supervise: device unavailable (probe failed) — "
+                     f"retrying in {self.poll_s:.0f}s without consuming "
+                     "restart budget")
+            time.sleep(self.poll_s)
 
     def _kill(self, child: subprocess.Popen) -> None:
         # The child was started with start_new_session=True, so its pgid is
@@ -93,6 +143,7 @@ class Supervisor:
         attempt = 0
         while True:
             attempt += 1
+            self._wait_for_device()
             # Stale heartbeat from a previous child must not look live.
             try:
                 os.remove(self.heartbeat_path)
@@ -166,6 +217,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--startup-timeout", type=float, default=1800.0)
     p.add_argument("--max-restarts", type=int, default=5)
     p.add_argument("--poll", type=float, default=5.0)
+    p.add_argument("--device-wait", type=float, default=0.0,
+                   help="seconds to hold each launch while an accelerator "
+                        "probe fails (0 = launch immediately); probing does "
+                        "not consume the restart budget")
     args = p.parse_args(argv)
 
     from qmcnn_tpu import configs as cfglib
@@ -185,7 +240,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     sup = Supervisor(child_argv, hb,
                      stall_timeout=args.stall_timeout,
                      startup_timeout=args.startup_timeout,
-                     max_restarts=args.max_restarts, poll_s=args.poll)
+                     max_restarts=args.max_restarts, poll_s=args.poll,
+                     device_wait=args.device_wait)
     return sup.run()
 
 

@@ -113,8 +113,14 @@ def train(cfg, ckpt_manager=None, logger=None):
             return fn(state, key)
 
     it = start_step
+    # NOTE: the first beat is only written after the first COMPLETED
+    # dispatch — never before. The supervisor applies its (short) stall
+    # timeout from the first beat onward; an earlier beat would start that
+    # clock while the one-time XLA compile is still running and get the
+    # child killed mid-compile (observed: wedges the chip for ~35 min).
+    # Until the first beat, the supervisor's generous startup timeout
+    # covers warm-start + thermalization + compile.
     hb_path = cfg.run.heartbeat_path if is_main else None
-    _heartbeat(hb_path, it)
     steps_per_dispatch = cfg.run.steps_per_dispatch
     if steps_per_dispatch <= 0:
         # auto-size: measure one single-step dispatch (after compile) and

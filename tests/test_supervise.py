@@ -130,6 +130,51 @@ run: {{n_steps: 4, steps_per_dispatch: 2, log_every: 2,
     assert "n_walkers: 32" in meta["config"]
 
 
+def test_device_wait_probes_without_burning_budget(tmp_path):
+    # Probe fails twice before the device "recovers"; with max_restarts=0
+    # (zero tolerance for failed attempts) the run still succeeds because
+    # probing holds the launch instead of spending a doomed attempt.
+    probe_cnt = tmp_path / "probes"
+    probe = _stub(tmp_path, "probe.py", """
+        n = int(open(state).read()) if os.path.exists(state) else 0
+        open(state, "w").write(str(n + 1))
+        sys.exit(0 if n >= 2 else 1)
+    """)
+    hb = str(tmp_path / "hb")
+    child = _stub(tmp_path, "child.py", """
+        beat(1)
+        sys.exit(0)
+    """)
+    sup = Supervisor([sys.executable, child, hb, str(tmp_path)], hb,
+                     poll_s=0.05, log=lambda *a: None,
+                     stall_timeout=30, startup_timeout=30, max_restarts=0,
+                     device_wait=60,
+                     device_probe_cmd=[sys.executable, probe, "unused",
+                                       str(probe_cnt)])
+    assert sup.run() == 0
+    assert int(probe_cnt.read_text()) == 3  # 2 failures + 1 success
+
+
+def test_device_wait_budget_expiry_launches_anyway(tmp_path):
+    # Probe never succeeds; after device_wait expires the child is launched
+    # regardless (and here completes fine).
+    probe = _stub(tmp_path, "probe.py", """
+        sys.exit(1)
+    """)
+    hb = str(tmp_path / "hb")
+    child = _stub(tmp_path, "child.py", """
+        beat(1)
+        sys.exit(0)
+    """)
+    sup = Supervisor([sys.executable, child, hb, str(tmp_path)], hb,
+                     poll_s=0.05, log=lambda *a: None,
+                     stall_timeout=30, startup_timeout=30, max_restarts=0,
+                     device_wait=0.2,
+                     device_probe_cmd=[sys.executable, probe, "u",
+                                       str(tmp_path)])
+    assert sup.run() == 0
+
+
 def test_read_heartbeat_robust(tmp_path):
     assert read_heartbeat(str(tmp_path / "missing")) is None
     bad = tmp_path / "bad"
