@@ -281,16 +281,29 @@ def build(cfg: Config, axis_name: Optional[str] = None
         from qmcnn_tpu.utils import memory
 
         chunk_size = memory.auto_chunk_size(cfg, lattice, ham, n_params)
+    sr = build_sr(cfg, lattice, ham, n_params)
     vmc = VMC(
         log_psi_fn=log_psi_fn,
         ham=ham,
         sampler=sampler,
         optimizer=build_optimizer(cfg),
         n_sweeps=cfg.sampler.n_sweeps_per_step,
-        sr=build_sr(cfg, lattice, ham, n_params),
+        sr=sr,
         axis_name=axis_name,
         chunk_size=chunk_size,
     )
+    # Preflight HBM sanity: a device OOM on the tunneled TPU hard-crashes
+    # the worker (no RESOURCE_EXHAUSTED) and can wedge the chip for over an
+    # hour, so surface dangerous-looking configs before any dispatch.
+    if cfg.sr.enabled:
+        from qmcnn_tpu.utils import memory
+
+        est = memory.peak_estimate(
+            cfg, lattice, ham, n_params, solver=sr.solver,
+            chunk_size=chunk_size, jacobian_chunk=sr.jacobian_chunk)
+        msg = memory.preflight_message(est)
+        if msg:
+            print(f"WARNING: {msg}", flush=True)
     return vmc, params, lattice
 
 

@@ -170,6 +170,55 @@ def _persistent_bytes(cfg, n_params: Optional[int], m_local: int) -> float:
     return pad + jac + gram
 
 
+def peak_estimate(cfg, lattice, ham, n_params: Optional[int] = None,
+                  hbm_bytes: Optional[int] = None,
+                  solver: Optional[str] = None,
+                  chunk_size: Optional[int] = None,
+                  jacobian_chunk: Optional[int] = None) -> dict:
+    """Rough per-chip peak-HBM estimate for the configured train step.
+
+    persistent (SR Jacobian/Gram + pad) + max(E_loc transient, Jacobian-
+    materialization transient) at the *given* chunk sizes. This is a
+    lower-bound sanity model (XLA workspace, buffer copies during chunked
+    Jacobian assembly, and fragmentation are not itemized), so treat
+    fractions near 1 as "will OOM" and fractions above ~0.8 as risky: on
+    the tunneled TPU an OOM does not raise RESOURCE_EXHAUSTED but
+    hard-crashes the worker and can wedge the chip for over an hour
+    (observed in round-2 production at M=4096 materialized minSR, P=101k).
+    """
+    hbm = device_hbm_bytes() if hbm_bytes is None else hbm_bytes
+    m_local = _local_walkers(cfg)
+    fp = model_footprint(cfg, lattice.n_sites)
+    k1 = connected_k(ham, lattice.n_sites) + 1
+    if solver is not None:
+        cfg = dataclasses.replace(
+            cfg, sr=dataclasses.replace(cfg.sr, solver=solver))
+    persistent = _persistent_bytes(cfg, n_params, m_local)
+    cs = chunk_size or m_local
+    eloc_t = cs * k1 * fp.fwd_bytes()
+    jac_t = 0.0
+    if cfg.sr.enabled and cfg.sr.solver != "cg" and n_params:
+        jac_t = (jacobian_chunk or m_local) * fp.bwd_bytes()
+    transient = max(eloc_t, jac_t)
+    peak = persistent + transient
+    return {"hbm_bytes": float(hbm), "persistent_bytes": persistent,
+            "transient_bytes": transient, "peak_bytes": peak,
+            "fraction": peak / hbm}
+
+
+def preflight_message(est: dict) -> Optional[str]:
+    """A warning string when the estimate looks dangerous, else None."""
+    frac = est["fraction"]
+    if frac <= 0.8:
+        return None
+    return (f"estimated peak HBM {est['peak_bytes'] / 2**30:.1f} GiB of "
+            f"{est['hbm_bytes'] / 2**30:.0f} GiB ({100 * frac:.0f}%; "
+            f"persistent SR buffers {est['persistent_bytes'] / 2**30:.1f} "
+            "GiB). A device OOM on the tunneled TPU hard-crashes the "
+            "worker and can wedge the chip — consider fewer walkers "
+            "(sampler.n_walkers), sr.solver=cg, or more devices.")
+
+
 def describe(cfg, lattice, ham, n_params: Optional[int] = None,
              hbm_bytes: Optional[int] = None) -> str:
     cs = auto_chunk_size(cfg, lattice, ham, n_params, hbm_bytes)

@@ -108,3 +108,45 @@ def test_real_model_persistent_budget_smaller():
     cs_cplx = memory.auto_chunk_size(cplx, lat, ham, n_params,
                                      hbm_bytes=HBM) or 10**9
     assert cs_real >= cs_cplx
+
+
+def test_peak_estimate_and_preflight():
+    """peak_estimate: fraction scales with walkers; preflight_message only
+    fires above 80% of HBM and names the persistent share."""
+    kw = dict(shape=(8, 8), kind="gcnn", channels=(10,) * 8, ham="j1j2",
+              j2=0.5, complex_params=True, spin_flip=1, solver="minsr")
+    lat = build_lattice(_cfg(n_walkers=1024, **kw))
+    ham = build_hamiltonian(_cfg(n_walkers=1024, **kw), lat)
+    n_params = 101000
+    def est(n_walkers):
+        # mirror build(): the preflight estimate uses post-auto-chunk sizes
+        cfg = _cfg(n_walkers=n_walkers, **kw)
+        cs = memory.auto_chunk_size(cfg, lat, ham, n_params, hbm_bytes=HBM)
+        jc = memory.auto_jacobian_chunk(cfg, lat, ham, n_params,
+                                        hbm_bytes=HBM)
+        return memory.peak_estimate(cfg, lat, ham, n_params, hbm_bytes=HBM,
+                                    chunk_size=cs, jacobian_chunk=jc)
+
+    small = est(1024)
+    big = est(16384)
+    assert small["fraction"] < big["fraction"]
+    assert big["peak_bytes"] >= big["persistent_bytes"]
+    # M=16384 materialized minSR at P=101k: Jacobian alone is ~13 GiB
+    assert memory.preflight_message(big) is not None
+    assert "persistent" in memory.preflight_message(big)
+    assert memory.preflight_message(small) is None
+
+
+def test_peak_estimate_respects_explicit_chunks():
+    """Explicit chunk sizes bound the transient term."""
+    kw = dict(shape=(10, 10), kind="gcnn", channels=(10,) * 6,
+              n_walkers=2048, ham="j1j2", j2=0.5, complex_params=True,
+              spin_flip=1, solver="minsr")
+    cfg = _cfg(**kw)
+    lat = build_lattice(cfg)
+    ham = build_hamiltonian(cfg, lat)
+    full = memory.peak_estimate(cfg, lat, ham, 101000, hbm_bytes=HBM)
+    chunked = memory.peak_estimate(cfg, lat, ham, 101000, hbm_bytes=HBM,
+                                   chunk_size=128, jacobian_chunk=128)
+    assert chunked["transient_bytes"] < full["transient_bytes"]
+    assert chunked["persistent_bytes"] == full["persistent_bytes"]
