@@ -67,6 +67,28 @@ def build_model(cfg: Config, lattice: Lattice):
             tie_translations=m.rbm_tie_translations,
             param_scale=m.param_scale,
         ), m)
+    if m.kind == "arnn":
+        from qmcnn_tpu.models.arnn import LogPsiARNN
+
+        for flag, name in ((m.translation_average, "translation_average"),
+                           (m.point_group_average, "point_group_average"),
+                           (m.spin_flip_sector, "spin_flip_sector")):
+            if flag:
+                raise ValueError(
+                    f"model.{name} is incompatible with the autoregressive "
+                    f"ansatz: symmetrized sums of normalized amplitudes are "
+                    f"no longer normalized, which breaks exact sampling")
+        sz_zero = resolve_arnn_sector(cfg)
+        if sz_zero and lattice.n_sites % 2:
+            raise ValueError("sz0 sector needs an even number of sites")
+        return LogPsiARNN(
+            n_sites=lattice.n_sites,
+            hidden=tuple(m.channels),
+            complex_params=m.complex_params,
+            sz_zero=sz_zero,
+            param_scale=m.param_scale,
+            activation=m.activation if m.activation != "lncosh" else "selu",
+        )
     if m.kind == "gcnn":
         from qmcnn_tpu.models.gcnn import LogPsiGCNN
 
@@ -214,6 +236,31 @@ def build_sr(cfg: Config, lattice=None, ham=None,
     )
 
 
+def resolve_arnn_sector(cfg: Config) -> bool:
+    """True iff the ARNN conditionals bake in the S^z = 0 sector."""
+    sec = cfg.model.arnn_sector
+    if sec == "auto":
+        return cfg.hamiltonian.kind in ("heisenberg", "j1j2")
+    if sec == "sz0":
+        return True
+    if sec == "none":
+        return False
+    raise ValueError(f"unknown model.arnn_sector {sec!r}")
+
+
+def resolve_sampler_kind(cfg: Config) -> str:
+    k = cfg.sampler.kind
+    if k == "auto":
+        return "direct" if cfg.model.kind == "arnn" else "metropolis"
+    if k == "direct" and cfg.model.kind != "arnn":
+        raise ValueError("sampler.kind='direct' requires the autoregressive "
+                         "ansatz (model.kind='arnn'); other models are not "
+                         "normalized and cannot be sampled ancestrally")
+    if k not in ("metropolis", "direct"):
+        raise ValueError(f"unknown sampler.kind {k!r}")
+    return k
+
+
 def resolve_move(cfg: Config) -> str:
     if cfg.sampler.move != "auto":
         return cfg.sampler.move
@@ -261,17 +308,28 @@ def build(cfg: Config, axis_name: Optional[str] = None
         jax.random.key(cfg.run.seed),
         jnp.ones((1, lattice.n_sites), jnp.float32),
     )
-    move = resolve_move(cfg)
-    sampler = MetropolisSampler(
-        log_psi_fn,
-        n_sites=lattice.n_sites,
-        move=move,
-        bonds=lattice.nn_bonds if move.startswith("exchange") else None,
-        sweep_size=cfg.sampler.sweep_size,
-        backend=resolve_sampler_backend(cfg),
-        lattice_shape=tuple(lattice.shape),
-        pallas_block=cfg.sampler.pallas_block,
-    )
+    if resolve_sampler_kind(cfg) == "direct":
+        from qmcnn_tpu.models.arnn import conditional_fn
+        from qmcnn_tpu.sampler.direct import DirectSampler
+
+        sampler = DirectSampler(
+            log_psi_fn,
+            conditional_fn(model),
+            n_sites=lattice.n_sites,
+            sz_zero=resolve_arnn_sector(cfg),
+        )
+    else:
+        move = resolve_move(cfg)
+        sampler = MetropolisSampler(
+            log_psi_fn,
+            n_sites=lattice.n_sites,
+            move=move,
+            bonds=lattice.nn_bonds if move.startswith("exchange") else None,
+            sweep_size=cfg.sampler.sweep_size,
+            backend=resolve_sampler_backend(cfg),
+            lattice_shape=tuple(lattice.shape),
+            pallas_block=cfg.sampler.pallas_block,
+        )
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(params))
     chunk_size = cfg.run.chunk_size

@@ -23,7 +23,7 @@ class LatticeConfig:
 
 @dataclass(frozen=True)
 class ModelConfig:
-    kind: str = "cnn"  # cnn | gcnn | rbm
+    kind: str = "cnn"  # cnn | gcnn | rbm | arnn
     channels: Tuple[int, ...] = (8, 8)
     kernel_size: int = 3
     complex_params: bool = False
@@ -67,6 +67,12 @@ class ModelConfig:
     #: Z2 spin-inversion projection (any model kind): 0 = off, +1/-1 = the
     #: parity sector (S^z=0 Heisenberg/J1-J2 ground states: +1)
     spin_flip_sector: int = 0
+    #: ARNN-only (kind='arnn'; channels are the masked hidden widths, and
+    #: the default 'lncosh' activation is upgraded to 'selu' — lncosh is
+    #: even, which wastes the masked stack's sign information):
+    #: S^z sector baked into the conditionals — 'auto' (sz0 for
+    #: heisenberg/j1j2, free for tfim) | 'none' | 'sz0'
+    arnn_sector: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -83,6 +89,10 @@ class HamiltonianConfig:
 
 @dataclass(frozen=True)
 class SamplerConfig:
+    #: 'metropolis' (MCMC chains; any model) or 'direct' (exact ancestral
+    #: sampling; autoregressive models only — zero autocorrelation, no
+    #: thermalization). 'auto' = direct for kind='arnn', metropolis else.
+    kind: str = "auto"
     n_walkers: int = 1024
     move: str = "auto"  # auto -> flip (TFIM) / exchange (Heisenberg);
     # exchange_anti = Hastings-corrected anti-aligned-only proposals

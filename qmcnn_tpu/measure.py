@@ -166,6 +166,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
 
 
 def main(argv=None):
+    from qmcnn_tpu.utils.platform import honor_platform_request
+    honor_platform_request()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True)
     p.add_argument("--ckpt-dir", required=True)

@@ -252,6 +252,8 @@ def _write_manifest(cfg, e_tail, e_err, e_exact, n_sites) -> None:
 
 
 def main(argv=None):
+    from qmcnn_tpu.utils.platform import honor_platform_request
+    honor_platform_request()
     from qmcnn_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)

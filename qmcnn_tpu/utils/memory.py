@@ -83,6 +83,14 @@ def model_footprint(cfg, n_sites: int) -> ModelFootprint:
     if m.kind == "rbm":
         width = max(1, int(m.rbm_alpha))
         n_layers = 1
+    elif m.kind == "arnn":
+        # masked dense stack: activations are [B, width] (no per-site
+        # feature map), plus the [B, 3N] output heads — fold the site
+        # factor out by reporting an effective per-site width
+        width = max(max(channels), 3 * n_sites)
+        n_layers = len(channels) + 1
+        return ModelFootprint(n_sites=1, max_width=width,
+                              n_layers=n_layers, n_parts=1, sym_batch=1)
     else:
         width = max(channels) * group
         n_layers = len(channels)

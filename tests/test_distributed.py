@@ -249,3 +249,46 @@ def test_sharded_gcnn_minsr_hero_path_matches_single_device(eight_devices):
                                    rtol=2e-5, atol=1e-5)
         np.testing.assert_allclose(flat(state1.params), flat(state8.params),
                                    rtol=5e-4, atol=5e-6)
+
+
+def test_sharded_arnn_direct_sampler_matches_single_device(eight_devices):
+    """The exact-sampling path (ARNN + DirectSampler + SR) under shard_map:
+    ancestral draws are keyed by global walker id, so the n-device run must
+    reproduce the 1-device samples walker-for-walker."""
+    from qmcnn_tpu.models.arnn import LogPsiARNN, conditional_fn
+    from qmcnn_tpu.sampler.direct import DirectSampler
+
+    lat = chain(N)
+    ham = Heisenberg(lat)
+    model = LogPsiARNN(n_sites=N, hidden=(8, 8), sz_zero=True)
+
+    def log_psi_fn(p, s):
+        return log_psi_apply(model, p, s)
+
+    params = model.init(jax.random.key(0), jnp.ones((1, N), jnp.float32))
+    sr = SR(solver="minsr", diag_shift0=0.1, diag_shift_decay=1.0,
+            diag_shift_min=0.1)
+
+    def make(axis_name):
+        sampler = DirectSampler(log_psi_fn, conditional_fn(model),
+                                n_sites=N, sz_zero=True)
+        return VMC(log_psi_fn=log_psi_fn, ham=ham, sampler=sampler,
+                   optimizer=optax.sgd(0.02), n_sweeps=1, sr=sr,
+                   axis_name=axis_name)
+
+    mesh = walker_mesh(8)
+    vmc1, vmc8 = make(None), make("dp")
+    state1 = vmc1.init_state(jax.random.key(1), M, params)
+    sharded = make_sharded_vmc(vmc8, mesh, state1)
+    state8 = sharded.init_state(jax.random.key(1), M, params)
+    for it in range(2):
+        key = jax.random.fold_in(jax.random.key(12), it)
+        state1, m1 = jax.jit(vmc1.step)(state1, key, jnp.arange(M))
+        state8, m8 = sharded.step(state8, key)
+        assert np.all(np.asarray(state1.walkers.s).sum(-1) == 0)
+        np.testing.assert_array_equal(np.asarray(state1.walkers.s),
+                                      np.asarray(state8.walkers.s))
+        np.testing.assert_allclose(float(m1.energy_re), float(m8.energy_re),
+                                   rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(flat(state1.params), flat(state8.params),
+                                   rtol=5e-4, atol=5e-6)
