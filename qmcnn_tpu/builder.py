@@ -25,7 +25,8 @@ from qmcnn_tpu.vmc import VMC
 
 
 def build_lattice(cfg: Config) -> Lattice:
-    return Lattice(tuple(cfg.lattice.shape), pbc=cfg.lattice.pbc)
+    return Lattice(tuple(cfg.lattice.shape), pbc=cfg.lattice.pbc,
+                   geometry=cfg.lattice.geometry)
 
 
 def build_hamiltonian(cfg: Config, lattice: Lattice):
@@ -94,6 +95,10 @@ def build_model(cfg: Config, lattice: Lattice):
 
         if len(lattice.shape) != 2 or not lattice.pbc:
             raise ValueError("gcnn needs a periodic 2D lattice")
+        if lattice.geometry != "hypercubic":
+            raise ValueError("gcnn is C4v-equivariant — the square point "
+                             "group, not a symmetry of "
+                             f"geometry={lattice.geometry!r}")
         if m.translation_average or m.point_group_average:
             raise ValueError("gcnn is already fully space-group symmetric; "
                              "drop translation/point_group averaging")
@@ -134,6 +139,10 @@ def build_model(cfg: Config, lattice: Lattice):
         if lattice.ndim != 2 or not lattice.pbc:
             raise ValueError("point_group_average needs a periodic 2D "
                              "lattice")
+        if lattice.geometry != "hypercubic":
+            raise ValueError("point_group_average applies the square C4v "
+                             "group — not a symmetry of "
+                             f"geometry={lattice.geometry!r}")
         inner = PointGroupAveraged(inner=inner,
                                    lattice_shape=tuple(lattice.shape))
     return _maybe_spin_flip(inner, m)

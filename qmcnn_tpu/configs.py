@@ -19,6 +19,10 @@ import yaml
 class LatticeConfig:
     shape: Tuple[int, ...] = (16,)
     pbc: bool = True
+    #: 'hypercubic' (chain/square) or 'triangular' (2D; 6 NN per site —
+    #: geometric frustration; requires hamiltonian marshall: false and is
+    #: incompatible with the C4v-based gcnn/point-group projections)
+    geometry: str = "hypercubic"
 
 
 @dataclass(frozen=True)

@@ -3,6 +3,10 @@
 Covers the geometry the reference supports (SURVEY.md R1): periodic chains
 (N=16, N=40) and periodic square lattices (8x8, 10x10), with nearest-neighbor
 (NN) and next-nearest-neighbor (NNN, diagonal) bonds for the J1-J2 model.
+Beyond reference parity, ``geometry='triangular'`` embeds the triangular
+lattice in the same LxL index grid (primitive vectors a1=(1,0),
+a2=(1/2, sqrt(3)/2); grid offset (dx, dy) = dx*a1 + dy*a2), giving the
+geometrically frustrated Heisenberg antiferromagnet without J2.
 
 Everything here is static host-side numpy; the arrays are baked into jitted
 functions as constants (SURVEY.md N1).
@@ -30,12 +34,19 @@ class Lattice:
 
     shape: Tuple[int, ...]
     pbc: bool = True
+    #: 'hypercubic' (chain / square; reference geometry) or 'triangular'
+    #: (2D only; 6 NN per site via the (1,0),(0,1),(1,-1) grid offsets)
+    geometry: str = "hypercubic"
 
     def __post_init__(self):
         if len(self.shape) not in (1, 2):
             raise ValueError(f"only 1D/2D lattices supported, got {self.shape}")
         if any(L < 2 for L in self.shape):
             raise ValueError(f"each dimension must be >= 2, got {self.shape}")
+        if self.geometry not in ("hypercubic", "triangular"):
+            raise ValueError(f"unknown geometry {self.geometry!r}")
+        if self.geometry == "triangular" and len(self.shape) != 2:
+            raise ValueError("triangular geometry needs a 2D shape")
 
     @property
     def ndim(self) -> int:
@@ -77,11 +88,18 @@ class Lattice:
     def _nn_offsets(self):
         if self.ndim == 1:
             return [(1,)]
+        if self.geometry == "triangular":
+            # a1, a2, a1 - a2: the three positive-direction unit bonds of
+            # the triangular lattice in grid coordinates (6 NN per site)
+            return [(1, 0), (0, 1), (1, -1)]
         return [(1, 0), (0, 1)]
 
     def _nnn_offsets(self):
         if self.ndim == 1:
             return [(2,)]
+        if self.geometry == "triangular":
+            # the sqrt(3)-shell: a1+a2, 2a1-a2, a1-2a2
+            return [(1, 1), (2, -1), (1, -2)]
         return [(1, 1), (1, -1)]
 
     def _bonds_for_offsets(self, offsets) -> np.ndarray:
@@ -122,7 +140,14 @@ class Lattice:
 
     @cached_property
     def is_bipartite_compatible(self) -> bool:
-        """True if PBC wrap preserves the checkerboard (all dims even)."""
+        """True if the NN graph is two-colorable by the checkerboard mask.
+
+        Triangular lattices contain odd cycles (triangles) and are never
+        bipartite; hypercubic lattices additionally need even dims under
+        PBC so the wrap preserves the coloring.
+        """
+        if self.geometry == "triangular":
+            return False
         return all(L % 2 == 0 for L in self.shape) or not self.pbc
 
 
@@ -132,3 +157,8 @@ def chain(n: int, pbc: bool = True) -> Lattice:
 
 def square(lx: int, ly: int | None = None, pbc: bool = True) -> Lattice:
     return Lattice((lx, ly if ly is not None else lx), pbc=pbc)
+
+
+def triangular(lx: int, ly: int | None = None, pbc: bool = True) -> Lattice:
+    return Lattice((lx, ly if ly is not None else lx), pbc=pbc,
+                   geometry="triangular")

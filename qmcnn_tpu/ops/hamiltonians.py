@@ -130,6 +130,14 @@ class Heisenberg(Hamiltonian):
 
     default_move = "exchange"
 
+    def __post_init__(self):
+        if self.marshall and not self.lattice.is_bipartite_compatible:
+            raise ValueError(
+                "marshall=True needs a bipartite NN graph (even-dim "
+                "hypercubic under PBC); this lattice is not two-colorable "
+                f"(geometry={self.lattice.geometry!r}, "
+                f"shape={self.lattice.shape}) — set marshall: false")
+
     @cached_property
     def _all_bonds(self) -> np.ndarray:
         bonds = [self.lattice.nn_bonds]
