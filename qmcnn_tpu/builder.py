@@ -349,6 +349,33 @@ def build(cfg: Config, axis_name: Optional[str] = None
 
         chunk_size = memory.auto_chunk_size(cfg, lattice, ham, n_params)
     sr = build_sr(cfg, lattice, ham, n_params)
+    penalty_states = ()
+    if cfg.optimizer.orthogonalize_to:
+        from qmcnn_tpu.ops.penalty import make_frozen_state
+        from qmcnn_tpu.utils.transfer import (load_checkpoint_params,
+                                              transfer_params)
+
+        frozen = []
+        for i, d in enumerate(cfg.optimizer.orthogonalize_to):
+            source = load_checkpoint_params(d)
+            p_k, n_copied, n_fresh = transfer_params(params, source)
+            if n_fresh:
+                raise ValueError(
+                    f"orthogonalize_to checkpoint {d!r} does not match this "
+                    f"run's model ({n_fresh} leaves missing/mismatched) — "
+                    f"frozen states must use the same model config")
+            p_k = jax.tree_util.tree_map(jnp.asarray, p_k)
+            # draw the frozen two-chain batch once: psi_k never changes,
+            # so one well-thermalized sample is valid for the whole run
+            # (ops/penalty.py docstring)
+            key = jax.random.key(cfg.run.seed + 7919 * (i + 1))
+            st = sampler.init_state(p_k, key, cfg.sampler.n_walkers)
+            st = jax.jit(lambda st_, pk=p_k, k=key: sampler.sample(
+                pk, st_, jax.random.fold_in(k, 1),
+                jnp.arange(st_.s.shape[0]),
+                n_sweeps=max(cfg.sampler.n_therm_sweeps, 20)))(st)
+            frozen.append(make_frozen_state(log_psi_fn, p_k, st.s))
+        penalty_states = tuple(frozen)
     vmc = VMC(
         log_psi_fn=log_psi_fn,
         ham=ham,
@@ -358,6 +385,8 @@ def build(cfg: Config, axis_name: Optional[str] = None
         sr=sr,
         axis_name=axis_name,
         chunk_size=chunk_size,
+        penalty_states=penalty_states,
+        penalty_beta=cfg.optimizer.orth_beta,
     )
     # Preflight HBM sanity: a device OOM on the tunneled TPU hard-crashes
     # the worker (no RESOURCE_EXHAUSTED) and can wedge the chip for over an

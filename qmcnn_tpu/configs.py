@@ -122,6 +122,13 @@ class OptimizerConfig:
     #: total decay horizon for cosine/linear (defaults to run.n_steps)
     decay_steps: Optional[int] = None
     lr_min_ratio: float = 0.1
+    #: excited-state targeting (ops/penalty.py): checkpoint directories of
+    #: FROZEN states (same model config as this run) to stay orthogonal
+    #: to. Adds orth_beta * sum_k |<psi_k|psi>|^2-normalized to the loss;
+    #: with beta above the energy gap the minimizer is the lowest state
+    #: orthogonal to every psi_k (the next excited state in the sector).
+    orthogonalize_to: Optional[List[str]] = None
+    orth_beta: float = 2.0
 
 
 @dataclass(frozen=True)

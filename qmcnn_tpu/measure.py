@@ -28,7 +28,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             sweeps_between: int = 2, therm_sweeps: int = 20,
             fidelity_ckpt: str | None = None,
             fidelity_step: int | None = None,
-            lanczos: bool = False):
+            lanczos: bool = False,
+            total_spin: bool = False):
     sharded, params, lattice = build_sharded(cfg)
     vmc = sharded.vmc
     key = jax.random.key(cfg.run.seed + 12345)
@@ -113,6 +114,19 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             lz_e1.append(np.asarray(e1_i.to_numpy()))
             lz_g.append(np.asarray(g_i.to_numpy()))
 
+    s2 = None
+    if total_spin:
+        # SU(2) Casimir <S^2>: singlet 0, triplet 2, ... — the sharpest
+        # check of what sector a state (e.g. a penalty-trained excited
+        # state) actually lives in. Costs N(N-1)/2 forwards per walker,
+        # so it is opt-in and measured once on the final walker set.
+        s2_out = jax.jit(lambda st: observables.total_spin_sq(
+            vmc.log_psi_fn, st.params, st.walkers.s, st.walkers.log_psi,
+            lattice,
+            marshall=(cfg.hamiltonian.kind in ("heisenberg", "j1j2")
+                      and cfg.hamiltonian.marshall)))(state)
+        s2 = float(s2_out.re)
+
     fid = None
     if fidelity_ckpt is not None:
         # MC fidelity |<psi1|psi2>|^2/(<1|1><2|2>) vs another checkpoint of
@@ -148,6 +162,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
     }
     if fid is not None:
         report["fidelity_vs_ckpt"] = fid
+    if s2 is not None:
+        report["total_spin_sq"] = s2
     if lanczos:
         from qmcnn_tpu.ops import cplx
         from qmcnn_tpu.ops.lanczos import lanczos_step, moments_from_samples
@@ -181,6 +197,9 @@ def main(argv=None):
                    help="also report the Lanczos-step refined variational "
                         "energy of (1 + alpha H) psi (ops/lanczos.py; "
                         "costs K extra local-energy passes per sample)")
+    p.add_argument("--total-spin", action="store_true",
+                   help="also report <S^2> of the total spin (singlet 0, "
+                        "triplet 2, ...; costs N(N-1)/2 forwards/walker)")
     p.add_argument("--override", action="append", default=[])
     args = p.parse_args(argv)
     cfg = cfglib.load(args.config, tuple(args.override))
@@ -188,7 +207,8 @@ def main(argv=None):
                      sweeps_between=args.sweeps_between,
                      fidelity_ckpt=args.fidelity_ckpt,
                      fidelity_step=args.fidelity_step,
-                     lanczos=args.lanczos_step)
+                     lanczos=args.lanczos_step,
+                     total_spin=args.total_spin)
     print(json.dumps({k: v for k, v in report.items() if k != "szsz_corr"},
                      indent=2))
     print("szsz_corr:", np.array2string(np.asarray(report["szsz_corr"]),

@@ -163,3 +163,56 @@ def offdiag_observable(log_psi_fn, params, s: Array, log_psi: C,
     o_loc = C((w * ratio.re).sum(-1), (w * ratio.im).sum(-1))
     return C(pmean(o_loc.re.mean(), axis_name),
              pmean(o_loc.im.mean(), axis_name))
+
+
+def total_spin_sq(log_psi_fn, params, s: Array, log_psi: C,
+                  lattice: Lattice, marshall: bool = False,
+                  axis_name: Optional[str] = None,
+                  pair_chunk: int = 1024) -> C:
+    """<S^2> of the total spin S = sum_i S_i (SU(2) Casimir).
+
+    The sharpest state diagnostic for spin systems: 0 for a singlet
+    ground state, S(S+1) = 2 for the triplet first excitation, etc. —
+    e.g. validating what the excited-state penalty (ops/penalty.py)
+    actually found.
+
+    Decomposition per walker (s in {-1,+1}, S^z = s/2):
+      S^2_loc(s) = M_z^2 + N/2
+                   + sum_{i<j, anti} sign_ij * psi(s^{ij}) / psi(s)
+    where M_z = sum_i s_i / 2, s^{ij} swaps the anti-aligned pair, and
+    sign_ij = -1 for opposite-sublattice pairs when the state lives in the
+    Marshall-rotated basis (same convention as spin_spin_connected).
+
+    The off-diagonal sum runs over ALL N(N-1)/2 pairs — chunked through
+    ``pair_chunk`` so the [M, K, N] connected batch stays bounded
+    (measure-time cost: N(N-1)/2 forwards per walker).
+    """
+    m, n = s.shape
+    pairs = np.array([(i, j) for i in range(n) for j in range(i + 1, n)],
+                     np.int32)
+    if marshall:
+        sub = np.asarray(lattice.sublattice_mask)
+        signs = np.where(sub[pairs[:, 0]] != sub[pairs[:, 1]],
+                         -1.0, 1.0).astype(np.float32)
+    else:
+        signs = np.ones(len(pairs), np.float32)
+
+    mz = s.sum(-1) / 2.0
+    o_re = mz * mz + n / 2.0   # [M] diagonal part
+    o_im = jnp.zeros_like(o_re)
+    for lo in range(0, len(pairs), pair_chunk):
+        pk = pairs[lo:lo + pair_chunk]
+        sgn = jnp.asarray(signs[lo:lo + pair_chunk])
+        kk = len(pk)
+        flips = np.ones((kk, n), np.float32)
+        flips[np.arange(kk), pk[:, 0]] = -1.0
+        flips[np.arange(kk), pk[:, 1]] = -1.0
+        anti = (s[:, pk[:, 0]] * s[:, pk[:, 1]]) < 0.0      # [M, kk]
+        sp = s[:, None, :] * jnp.asarray(flips)[None]        # [M, kk, N]
+        lp_prime = log_psi_fn(params, sp.reshape(m * kk, n)).reshape(m, kk)
+        ratio = cplx.cexp(C(lp_prime.re - log_psi.re[:, None],
+                            lp_prime.im - log_psi.im[:, None]))
+        w = sgn * anti.astype(jnp.float32)
+        o_re = o_re + (w * ratio.re).sum(-1)
+        o_im = o_im + (w * ratio.im).sum(-1)
+    return C(pmean(o_re.mean(), axis_name), pmean(o_im.mean(), axis_name))

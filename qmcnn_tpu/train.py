@@ -187,6 +187,9 @@ def train(cfg, ckpt_manager=None, logger=None):
                     "sr_iters": int(sri[j]),
                     "sweeps_per_sec": sweeps_per_step * m / max(dt, 1e-9),
                 }
+                if cfg.optimizer.orthogonalize_to:
+                    row["overlap"] = float(
+                        np.asarray(metrics.overlap)[j])
                 if e_exact is not None:
                     row["rel_err"] = abs(row["energy_re"] - e_exact) / abs(
                         e_exact)

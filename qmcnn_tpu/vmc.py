@@ -62,6 +62,7 @@ class StepMetrics(NamedTuple):
     grad_norm: Array
     sr_iters: Array      # 0 when SR disabled
     sr_residual: Array   # 0.0 when SR disabled
+    overlap: Array       # sum_k F_k vs frozen states; 0.0 when no penalty
 
 
 def energy_and_grad(
@@ -107,6 +108,11 @@ class VMC:
     sr: Optional[Any] = None          # qmcnn_tpu.sr.SR instance or None
     axis_name: Optional[str] = None
     chunk_size: Optional[int] = None
+    #: excited-state targeting (ops/penalty.py): frozen (log_psi_fn_k,
+    #: params_k) states to stay orthogonal to, and the penalty weight
+    #: (choose beta above the expected energy gap)
+    penalty_states: tuple = ()
+    penalty_beta: float = 0.0
 
     def init_state(self, key: Array, n_walkers: int, params) -> TrainState:
         walkers = self.sampler.init_state(params, key, n_walkers)
@@ -127,6 +133,14 @@ class VMC:
             self.log_psi_fn, self.ham, params, walkers,
             axis_name=self.axis_name, chunk_size=self.chunk_size,
         )
+        overlap = jnp.zeros(())
+        if self.penalty_states:
+            from qmcnn_tpu.ops.penalty import penalty_value_and_grad
+
+            overlap, pen_grads = penalty_value_and_grad(
+                self.log_psi_fn, params, walkers.s, self.penalty_states,
+                self.penalty_beta, axis_name=self.axis_name)
+            grads = jax.tree_util.tree_map(jnp.add, grads, pen_grads)
         sr_iters = jnp.zeros((), jnp.int32)
         sr_residual = jnp.zeros(())
         if self.sr is not None:
@@ -144,6 +158,7 @@ class VMC:
             energy_re=e_mean.re, energy_im=e_mean.im, energy_var=e_var,
             accept_rate=acc, grad_norm=gnorm,
             sr_iters=sr_iters, sr_residual=sr_residual,
+            overlap=overlap,
         )
         new_state = TrainState(params=params, opt_state=opt_state,
                                walkers=walkers, step=state.step + 1)
