@@ -82,6 +82,9 @@ def build_model(cfg: Config, lattice: Lattice):
         sz_zero = resolve_arnn_sector(cfg)
         if sz_zero and lattice.n_sites % 2:
             raise ValueError("sz0 sector needs an even number of sites")
+        if m.arnn_conv_kernel and len(lattice.shape) != 2:
+            raise ValueError("arnn_conv_kernel (PixelCNN trunk) needs a 2D "
+                             "lattice; chains use the MADE trunk (0)")
         return LogPsiARNN(
             n_sites=lattice.n_sites,
             hidden=tuple(m.channels),
@@ -89,6 +92,8 @@ def build_model(cfg: Config, lattice: Lattice):
             sz_zero=sz_zero,
             param_scale=m.param_scale,
             activation=m.activation if m.activation != "lncosh" else "selu",
+            conv_kernel=m.arnn_conv_kernel,
+            lattice_shape=tuple(lattice.shape),
         )
     if m.kind == "gcnn":
         from qmcnn_tpu.models.gcnn import LogPsiGCNN

@@ -77,6 +77,10 @@ class ModelConfig:
     #: S^z sector baked into the conditionals — 'auto' (sz0 for
     #: heisenberg/j1j2, free for tfim) | 'none' | 'sz0'
     arnn_sector: str = "auto"
+    #: ARNN trunk: 0 = MADE masked-dense (any lattice); odd k >= 3 = the
+    #: PixelCNN raster-causal masked-conv trunk (2D lattices; channels =
+    #: `channels`, spatial weight sharing, O(k^2 C^2) params)
+    arnn_conv_kernel: int = 0
 
 
 @dataclass(frozen=True)

@@ -87,13 +87,41 @@ def made_masks(n_sites: int, widths: Tuple[int, ...]):
     return masks
 
 
+def causal_conv_mask(k: int, include_center: bool) -> np.ndarray:
+    """[k, k] PixelCNN raster-causal tap mask (mask A / mask B).
+
+    Taps strictly before the center in raster order (rows above; same row
+    left of center); ``include_center`` (mask B, layers >= 1) also allows
+    the center tap, whose incoming features already depend on the strict
+    past only.
+    """
+    c = k // 2
+    m = np.zeros((k, k), np.float32)
+    m[:c, :] = 1.0
+    m[c, :c] = 1.0
+    if include_center:
+        m[c, c] = 1.0
+    return m
+
+
 class LogPsiARNN(nn.Module):
     """Masked autoregressive log-amplitude over flattened spin configs.
 
+    Two interchangeable trunks, both exactly autoregressive in the raster
+    site order (same conditionals/sampling contract):
+      * MADE masked-dense stack (default; any lattice) — hidden widths
+        from ``hidden``.
+      * PixelCNN masked-conv stack (``conv_kernel > 0``, 2D lattices):
+        raster-causal kxk convs (mask A then mask B, zero padding — the
+        causal order must NOT wrap), ``hidden`` as channel counts. Spatial
+        weight sharing gives 2D inductive bias and O(k^2 C^2) params
+        instead of O(N^2 H); note the usual PixelCNN blind spot applies
+        (expressiveness, not correctness).
+
     Args:
-      n_sites: total lattice sites (the model works on the flattened raster
-        order; 2D locality is learned, not baked in).
-      hidden: masked hidden-layer widths.
+      n_sites: total lattice sites (raster order; for the conv trunk this
+        must equal prod(lattice_shape)).
+      hidden: masked hidden-layer widths (MADE) or channels (conv).
       complex_params: add per-site phase outputs (complex psi). The phase
         for site i is conditioned on (s_<i, s_i) — summed over sites the
         total phase sees every spin.
@@ -102,6 +130,8 @@ class LogPsiARNN(nn.Module):
       param_scale: gain for the fan-in-scaled normal init.
       activation: 'selu' (default; self-normalizing for deep masked stacks)
         or 'lncosh'.
+      conv_kernel: 0 = MADE dense trunk; odd k >= 3 = masked-conv trunk.
+      lattice_shape: required for the conv trunk (2D raster geometry).
     """
 
     n_sites: int
@@ -110,6 +140,8 @@ class LogPsiARNN(nn.Module):
     sz_zero: bool = False
     param_scale: float = 1.0
     activation: str = "selu"
+    conv_kernel: int = 0
+    lattice_shape: Optional[Tuple[int, ...]] = None
 
     def _act(self, x: Array) -> Array:
         from qmcnn_tpu.ops.cplx import ACTIVATIONS
@@ -121,8 +153,14 @@ class LogPsiARNN(nn.Module):
         """Masked forward: s [B, N] in {-1,+1} (entries at/after a site are
         ignored by that site's head) -> (logit [B,N], phase_up, phase_dn).
 
-        Phases are None for real models.
+        Phases are None for real models. (Single compact method: flax
+        allows one per module; the two trunks branch inside.)
         """
+        if self.conv_kernel:
+            return self._heads_conv(s)
+        return self._heads_made(s)
+
+    def _heads_made(self, s: Array):
         n = self.n_sites
         masks = made_masks(n, self.hidden)
         x = s
@@ -150,6 +188,45 @@ class LogPsiARNN(nn.Module):
             logit, ph_up, ph_dn = jnp.split(out, 3, axis=-1)
             return logit, ph_up, ph_dn
         return out, None, None
+
+    def _heads_conv(self, s: Array):
+        if self.lattice_shape is None or len(self.lattice_shape) != 2:
+            raise ValueError("conv_kernel > 0 needs a 2D lattice_shape")
+        k = self.conv_kernel
+        if k % 2 == 0 or k < 3:
+            raise ValueError(f"conv_kernel must be odd >= 3, got {k}")
+        h, w_dim = self.lattice_shape
+        b = s.shape[0]
+        x = s.reshape(b, h, w_dim, 1)
+        c_in = 1
+        for li, ch in enumerate(self.hidden):
+            mask = causal_conv_mask(k, include_center=(li > 0))
+            fan_in = max(float(mask.sum()) * c_in, 2.0)
+            std = self.param_scale / np.sqrt(fan_in)
+            kern = self.param(f"conv{li}", nn.initializers.normal(std),
+                              (k, k, c_in, ch), jnp.float32)
+            bias = self.param(f"cb{li}", nn.initializers.zeros, (ch,),
+                              jnp.float32)
+            kern = kern * jnp.asarray(mask)[:, :, None, None]
+            # zero padding: raster causality must not wrap around PBC
+            x = jax.lax.conv_general_dilated(
+                x, kern, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = self._act(x + bias)
+            c_in = ch
+        n_heads = 3 if self.complex_params else 1
+        std = self.param_scale / np.sqrt(max(c_in, 2))
+        kern = self.param("conv_out", nn.initializers.normal(std),
+                          (1, 1, c_in, n_heads), jnp.float32)
+        bias = self.param("cb_out", nn.initializers.zeros, (n_heads,),
+                          jnp.float32)
+        out = jax.lax.conv_general_dilated(
+            x, kern, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        out = out.reshape(b, self.n_sites, n_heads)
+        if self.complex_params:
+            return out[..., 0], out[..., 1], out[..., 2]
+        return out[..., 0], None, None
 
     def conditional_log_probs(self, s: Array):
         """(log_p_up [B,N], log_p_dn [B,N]) — conditional i given s_<i.

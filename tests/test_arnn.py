@@ -36,10 +36,14 @@ def all_configs(n):
     return jnp.asarray(bits)
 
 
-def make_model(complex_params=False, sz_zero=False, n=N):
+def make_model(complex_params=False, sz_zero=False, n=N, conv=False):
+    kwargs = {}
+    if conv:
+        assert n == 8
+        kwargs = dict(conv_kernel=3, lattice_shape=(2, 4))
     model = LogPsiARNN(n_sites=n, hidden=(16, 16),
                        complex_params=complex_params, sz_zero=sz_zero,
-                       param_scale=1.0)
+                       param_scale=1.0, **kwargs)
     v = model.init(jax.random.key(1), jnp.ones((1, n), jnp.float32))
     return model, v
 
@@ -57,10 +61,11 @@ def test_made_masks_are_autoregressive():
             assert bool(conn[j, i]) == (j < i), (i, j)
 
 
+@pytest.mark.parametrize("conv", [False, True])
 @pytest.mark.parametrize("complex_params", [False, True])
 @pytest.mark.parametrize("sz_zero", [False, True])
-def test_conditional_i_ignores_future_sites(complex_params, sz_zero):
-    model, v = make_model(complex_params, sz_zero)
+def test_conditional_i_ignores_future_sites(complex_params, sz_zero, conv):
+    model, v = make_model(complex_params, sz_zero, conv=conv)
     key = jax.random.key(2)
     s = (2.0 * jax.random.bernoulli(key, 0.5, (5, N)) - 1.0).astype(
         jnp.float32)
@@ -73,17 +78,19 @@ def test_conditional_i_ignores_future_sites(complex_params, sz_zero):
         np.testing.assert_allclose(lp_dn[:, i], lp_dn2[:, i], atol=1e-6)
 
 
+@pytest.mark.parametrize("conv", [False, True])
 @pytest.mark.parametrize("complex_params", [False, True])
-def test_exact_normalization_free(complex_params):
-    model, v = make_model(complex_params)
+def test_exact_normalization_free(complex_params, conv):
+    model, v = make_model(complex_params, conv=conv)
     s = all_configs(N)
     lp = model.apply(v, s)
     z = float(jnp.exp(2.0 * lp.re).sum())
     np.testing.assert_allclose(z, 1.0, rtol=1e-5)
 
 
-def test_exact_normalization_sz0_sector():
-    model, v = make_model(sz_zero=True)
+@pytest.mark.parametrize("conv", [False, True])
+def test_exact_normalization_sz0_sector(conv):
+    model, v = make_model(sz_zero=True, conv=conv)
     s = all_configs(N)
     lp = model.apply(v, s)
     p = np.asarray(jnp.exp(2.0 * lp.re))
@@ -91,6 +98,31 @@ def test_exact_normalization_sz0_sector():
     np.testing.assert_allclose(p[in_sector].sum(), 1.0, rtol=1e-5)
     # out-of-sector amplitudes underflow to zero
     assert p[~in_sector].max() < 1e-30
+
+
+def test_conv_trunk_masks_are_causal():
+    from qmcnn_tpu.models.arnn import causal_conv_mask
+    a = causal_conv_mask(3, include_center=False)
+    b = causal_conv_mask(3, include_center=True)
+    assert a.sum() == 4 and b.sum() == 5
+    assert a[1, 1] == 0 and b[1, 1] == 1
+    assert a[2].sum() == 0 and a[1, 2] == 0  # nothing below / right
+
+
+def test_conv_trunk_direct_sampler_exact():
+    """Ancestral samples from the PixelCNN trunk match enumerated
+    |psi|^2 (chi-square)."""
+    model, v = make_model(sz_zero=False, conv=True)
+    s_all = all_configs(N)
+    p = np.asarray(jnp.exp(2.0 * model.apply(v, s_all).re))
+    p = p / p.sum()
+    m = 8192
+    _, counts = _sampled_counts(model, v, False, m)
+    keep = p > 5.0 / m
+    chi2 = float((((counts - m * p) ** 2 / np.maximum(m * p, 1e-12))[keep]
+                  ).sum())
+    dof = int(keep.sum()) - 1
+    assert chi2 < dof + 5.0 * np.sqrt(2.0 * dof), (chi2, dof)
 
 
 def _sampled_counts(model, v, sz_zero, m=4096):
