@@ -88,6 +88,7 @@ class HamiltonianConfig:
     kind: str = "tfim"  # tfim | heisenberg | j1j2
     j: float = 1.0
     h: float = 1.0      # TFIM transverse field
+    hz: float = 0.0     # TFIM longitudinal field (mixed-field Ising)
     j2: float = 0.0     # J1-J2 frustration (kind='j1j2')
     marshall: bool = True
     #: XXZ anisotropy on Sz Sz (heisenberg/j1j2 kinds; 1.0 = isotropic,
@@ -156,6 +157,12 @@ class SRConfig:
     #: distributed-minSR Gram assembly: 'gather' (default) or 'ring'
     #: (ppermute; O(M_local x P) peak memory — for very large P)
     minsr_assembly: str = "gather"
+    #: SPRING momentum mu (minsr solver only; 0 = plain SR). The previous
+    #: natural gradient seeds the regularized solve, and the current step's
+    #: residuals CORRECT its stale directions rather than blindly adding
+    #: them (arXiv:2401.10190). Typical mu 0.4-0.9 with a small constant
+    #: diag_shift (e.g. 1e-3); threads the [P] carry through TrainState.
+    momentum: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -26,12 +26,16 @@ def _spins(n: int) -> np.ndarray:
     return (2 * bits - 1).astype(np.int8)
 
 
-def sparse_tfim(n: int, bonds: np.ndarray, j: float = 1.0, h: float = 1.0) -> sp.csr_matrix:
-    """H = -J sum_bonds sz_i sz_j - h sum_i sx_i  (sigma convention)."""
+def sparse_tfim(n: int, bonds: np.ndarray, j: float = 1.0, h: float = 1.0,
+                hz: float = 0.0) -> sp.csr_matrix:
+    """H = -J sum_bonds sz_i sz_j - h sum_i sx_i - hz sum_i sz_i
+    (sigma convention)."""
     dim = 1 << n
     s = _spins(n)
     states = np.arange(dim, dtype=np.int64)
     diag = -j * (s[:, bonds[:, 0]] * s[:, bonds[:, 1]]).sum(axis=1).astype(np.float64)
+    if hz:
+        diag = diag - hz * s.sum(axis=1).astype(np.float64)
     rows = [states]
     cols = [states]
     vals = [diag]

@@ -60,15 +60,20 @@ class Hamiltonian:
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class TFIM(Hamiltonian):
-    """Transverse-field Ising model: H = -J sum_<ij> sz_i sz_j - h sum_i sx_i.
+    """(Transverse+longitudinal)-field Ising model:
+    H = -J sum_<ij> sz_i sz_j - h sum_i sx_i - hz sum_i sz_i.
 
     (sigma convention, matching :func:`qmcnn_tpu.ops.exact.sparse_tfim`.)
     Connected states: every single-spin flip, K = N, mel = -h (SURVEY.md R4).
+    ``hz`` (beyond reference parity) adds the purely diagonal longitudinal
+    field — the mixed-field Ising chain (non-integrable; E8 physics near
+    the critical point).
     """
 
     lattice: Lattice
     j: float = 1.0
     h: float = 1.0
+    hz: float = 0.0
 
     default_move = "flip"
 
@@ -90,7 +95,10 @@ class TFIM(Hamiltonian):
 
     def diag(self, s: Array) -> Array:
         b = self._bonds
-        return -self.j * jnp.sum(s[b[:, 0]] * s[b[:, 1]])
+        out = -self.j * jnp.sum(s[b[:, 0]] * s[b[:, 1]])
+        if self.hz:
+            out = out - self.hz * jnp.sum(s)
+        return out
 
     def connected(self, s: Array) -> Tuple[Array, Array, Array]:
         n = self.lattice.n_sites

@@ -33,7 +33,8 @@ def exact_reference_energy(cfg) -> Optional[float]:
 
     h = cfg.hamiltonian
     if h.kind == "tfim":
-        sp = exact.sparse_tfim(lattice.n_sites, lattice.nn_bonds, j=h.j, h=h.h)
+        sp = exact.sparse_tfim(lattice.n_sites, lattice.nn_bonds, j=h.j,
+                               h=h.h, hz=h.hz)
     elif h.kind == "heisenberg":
         sp = exact.sparse_heisenberg(lattice.n_sites, lattice.nn_bonds, j=h.j,
                                      delta=h.delta)

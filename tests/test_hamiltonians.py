@@ -201,3 +201,39 @@ def test_xxz_marshall_spectrum_invariant():
         Heisenberg(lat, j=1.0, marshall=False, delta=0.5)).real
     np.testing.assert_allclose(np.linalg.eigvalsh(h_rot),
                                np.linalg.eigvalsh(h_plain), atol=1e-8)
+
+
+def test_tfim_longitudinal_field_matches_dense():
+    lat = chain(8)
+    ham = TFIM(lat, j=1.0, h=0.7, hz=0.3)
+    got = exact.dense_from_hamiltonian(ham).real
+    want = exact.sparse_tfim(lat.n_sites, lat.nn_bonds, j=1.0, h=0.7,
+                             hz=0.3).toarray()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_j1j2_chain_matches_dense():
+    lat = chain(8)
+    ham = j1j2(lat, j1=1.0, j2=0.5, marshall=False)
+    got = exact.dense_from_hamiltonian(ham).real
+    want = exact.sparse_heisenberg(lat.n_sites, lat.nn_bonds, j=1.0,
+                                   nnn_bonds=lat.nnn_bonds,
+                                   j2=0.5).toarray()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_majumdar_ghosh_point_is_exact():
+    """1D J1-J2 at J2/J1 = 1/2 (Majumdar-Ghosh): the ground energy of the
+    periodic even chain is EXACTLY -3 N J / 8 (two degenerate dimer
+    coverings) — an analytic pin on the NNN bond construction and the ED
+    builder at a nontrivial coupling."""
+    n = 12
+    lat = chain(n)
+    h = exact.sparse_heisenberg(n, lat.nn_bonds, j=1.0,
+                                nnn_bonds=lat.nnn_bonds, j2=0.5)
+    import scipy.sparse.linalg as spla
+    evals = np.sort(spla.eigsh(h.asfptype(), k=3, which="SA",
+                               return_eigenvectors=False))
+    np.testing.assert_allclose(evals[0], -3.0 * n / 8.0, atol=1e-9)
+    np.testing.assert_allclose(evals[1], -3.0 * n / 8.0, atol=1e-9)  # 2-fold
+    assert evals[2] > -3.0 * n / 8.0 + 1e-6
