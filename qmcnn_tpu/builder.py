@@ -32,7 +32,7 @@ def build_lattice(cfg: Config) -> Lattice:
 def build_hamiltonian(cfg: Config, lattice: Lattice):
     h = cfg.hamiltonian
     if h.kind == "tfim":
-        return TFIM(lattice, j=h.j, h=h.h)
+        return TFIM(lattice, j=h.j, h=h.h, hz=h.hz)
     if h.kind == "heisenberg":
         return Heisenberg(lattice, j=h.j, marshall=h.marshall, delta=h.delta)
     if h.kind == "j1j2":
@@ -230,6 +230,9 @@ def build_sr(cfg: Config, lattice=None, ham=None,
         import dataclasses as _dc
 
         cfg = _dc.replace(cfg, sr=_dc.replace(s, solver=solver))
+    if s.momentum and solver != "minsr":
+        raise ValueError("sr.momentum (SPRING) requires solver='minsr' "
+                         f"(resolved solver: {solver!r})")
     jacobian_chunk = s.jacobian_chunk
     if jacobian_chunk is None and lattice is not None and ham is not None:
         from qmcnn_tpu.utils import memory
@@ -247,6 +250,7 @@ def build_sr(cfg: Config, lattice=None, ham=None,
         jacobian_chunk=jacobian_chunk,
         real_log_psi=model_log_psi_is_real(cfg),
         minsr_assembly=s.minsr_assembly,
+        momentum=s.momentum,
     )
 
 

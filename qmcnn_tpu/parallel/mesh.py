@@ -80,6 +80,7 @@ def _state_specs(state: TrainState) -> TrainState:
         opt_state=rep(state.opt_state),
         walkers=_walker_specs(),
         step=P(),
+        sr_aux=rep(state.sr_aux),  # replicated [P] (None when no SPRING)
     )
 
 

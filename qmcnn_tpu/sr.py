@@ -330,6 +330,93 @@ def resolve_solver(solver: str, m_total: int, n_params: int,
     return "minsr" if parts * m_total <= n_params else "pcg"
 
 
+def _minsr_rows(op: JacobianSOperator, e_loc, axis_name):
+    """Stacked (score rows, centered residual) for the sample-space solve.
+
+    Real models drop the identically-zero im rows: Gram [M, M] not [2M, 2M].
+    """
+    if op.oc_im is None:
+        return op.oc_re, e_loc.re - _pmean(e_loc.re.mean(), axis_name)
+    o_local = jnp.concatenate([op.oc_re, op.oc_im], axis=0)
+    eps_local = jnp.concatenate([
+        e_loc.re - _pmean(e_loc.re.mean(), axis_name),
+        e_loc.im - _pmean(e_loc.im.mean(), axis_name),
+    ])
+    return o_local, eps_local
+
+
+def _minsr_delta(o_local: Array, eps_local: Array, shift: Array,
+                 m_local: int, axis_name: Optional[str], assembly: str
+                 ) -> Tuple[Array, Array]:
+    """The sample-space (minSR) solve core: returns (delta [P], S·delta [P])
+    with delta = O~^T (O~ O~^T / M + shift)^-1 eps / M — the push-through
+    solution of (S + shift) delta = O~^T eps / M.
+    """
+    if axis_name is None:
+        two_m = o_local.shape[0]
+        m_total = m_local
+        gram = (o_local @ o_local.T) / m_total
+        gram = gram + shift * jnp.eye(two_m)
+        y = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(gram), eps_local)
+        delta = (y @ o_local) / m_total  # [P]
+        s_delta = (o_local.T @ (o_local @ delta)) / m_total
+    elif assembly == "gather":
+        # distributed minSR, gather assembly: ship the full score
+        # matrix (2M_tot * P floats over ICI), split the Gram
+        # compute by columns. Simple and fastest at moderate P;
+        # peak memory O(2M_tot * P) per chip.
+        o_full = jax.lax.all_gather(o_local, axis_name, axis=0,
+                                    tiled=True)   # [2M_tot, P]
+        eps = jax.lax.all_gather(eps_local, axis_name, axis=0,
+                                 tiled=True)      # [2M_tot]
+        m_total = m_local * jax.lax.axis_size(axis_name)
+        two_m = o_full.shape[0]
+        cols = (o_full @ o_local.T) / m_total  # [2M_tot, 2M_loc]
+        gram = jax.lax.all_gather(cols, axis_name, axis=1, tiled=True)
+        gram = gram + shift * jnp.eye(two_m)
+        y = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(gram), eps)
+        delta = (y @ o_full) / m_total  # [P]
+        s_delta = (o_full.T @ (o_full @ delta)) / m_total
+    else:
+        # 'ring' assembly (the P-scaling path): the [2M_tot, P]
+        # score matrix is NEVER materialized — score shards hop
+        # the ring (ppermute), each chip building its Gram block
+        # row from the shard it currently holds. Same total ICI
+        # bytes as the gather, but peak memory drops to
+        # O(2M_loc * P + (2M_tot)^2): in minSR's P >> M regime
+        # that is the difference between fitting and OOM.
+        n_dev = jax.lax.axis_size(axis_name)
+        idx = jax.lax.axis_index(axis_name)
+        m2 = o_local.shape[0]            # 2M_loc (M_loc real)
+        m_total = m_local * n_dev
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+        def hop(r, carry):
+            o_rot, row = carry
+            src = (idx - r) % n_dev      # shard currently held
+            block = o_local @ o_rot.T    # Gram block (idx, src)
+            row = jax.lax.dynamic_update_slice(
+                row, block, (0, src * m2))
+            return jax.lax.ppermute(o_rot, axis_name, perm), row
+
+        row0 = jnp.zeros((m2, m2 * n_dev), o_local.dtype)
+        _, row = jax.lax.fori_loop(0, n_dev, hop, (o_local, row0))
+        gram = jax.lax.all_gather(row / m_total, axis_name,
+                                  axis=0, tiled=True)
+        two_m = m2 * n_dev
+        eps = jax.lax.all_gather(eps_local, axis_name, axis=0, tiled=True)
+        gram = gram + shift * jnp.eye(two_m)
+        y = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(gram), eps)
+        y_local = jax.lax.dynamic_slice(y, (idx * m2,), (m2,))
+        delta = jax.lax.psum(y_local @ o_local, axis_name) / m_total
+        s_delta = jax.lax.psum(
+            o_local.T @ (o_local @ delta), axis_name) / m_total
+    return delta, s_delta
+
+
 # ---------------------------------------------------------------------------
 # the SR transform
 # ---------------------------------------------------------------------------
@@ -370,6 +457,19 @@ class SR:
     #: never materializes [2M_tot, P] — the P-scaling path). Identical
     #: results (tested); single-device solves ignore it.
     minsr_assembly: str = "gather"
+    #: SPRING momentum mu (minsr solver only; 0 = off). The previous natural
+    #: gradient delta_{t-1} acts as the zero-regularization point:
+    #:   delta_t = mu delta_{t-1}
+    #:           + argmin_x ||O~ x - (eps - mu O~ delta_{t-1})||^2/M
+    #:                      + shift ||x||^2,
+    #: i.e. the momentum tail is corrected by the CURRENT step's residuals
+    #: rather than blindly added (unlike heavy-ball SGD) — it reuses the
+    #: information the regularized solve discarded. [Technique: Goldshlager,
+    #: Abrahamsen & Lin, arXiv:2401.10190 "A Kaczmarz-inspired approach to
+    #: accelerate the optimization of neural network wavefunctions".]
+    #: Requires threading delta_{t-1} through TrainState (vmc.TrainState
+    #: sr_aux); use via solve_spring.
+    momentum: float = 0.0
 
     def diag_shift(self, step: Array) -> Array:
         return jnp.maximum(
@@ -409,83 +509,11 @@ class SR:
         if self.solver == "minsr":
             if self.proportional_shift:
                 shift = shift * jnp.maximum(op.diag_s.mean(), 1e-12)
-            if op.oc_im is None:
-                # real model: the im score rows are identically zero, so
-                # they weight nothing in O~^T y — drop them and the Gram
-                # is [M, M] instead of [2M, 2M]
-                o_local = op.oc_re
-                eps_local = e_loc.re - _pmean(e_loc.re.mean(), axis_name)
-            else:
-                o_local = jnp.concatenate([op.oc_re, op.oc_im], axis=0)
-                eps_local = jnp.concatenate([
-                    e_loc.re - _pmean(e_loc.re.mean(), axis_name),
-                    e_loc.im - _pmean(e_loc.im.mean(), axis_name),
-                ])
+            o_local, eps_local = _minsr_rows(op, e_loc, axis_name)
             b, unravel = jax.flatten_util.ravel_pytree(grads)
-            if axis_name is None:
-                two_m = o_local.shape[0]
-                m_total = op.m_local
-                gram = (o_local @ o_local.T) / m_total
-                gram = gram + shift * jnp.eye(two_m)
-                y = jax.scipy.linalg.cho_solve(
-                    jax.scipy.linalg.cho_factor(gram), eps_local)
-                delta = (y @ o_local) / m_total  # [P]
-                s_delta = (o_local.T @ (o_local @ delta)) / m_total
-            elif self.minsr_assembly == "gather":
-                # distributed minSR, gather assembly: ship the full score
-                # matrix (2M_tot * P floats over ICI), split the Gram
-                # compute by columns. Simple and fastest at moderate P;
-                # peak memory O(2M_tot * P) per chip.
-                o_full = jax.lax.all_gather(o_local, axis_name, axis=0,
-                                            tiled=True)   # [2M_tot, P]
-                eps = jax.lax.all_gather(eps_local, axis_name, axis=0,
-                                         tiled=True)      # [2M_tot]
-                m_total = op.m_local * jax.lax.axis_size(axis_name)
-                two_m = o_full.shape[0]
-                cols = (o_full @ o_local.T) / m_total  # [2M_tot, 2M_loc]
-                gram = jax.lax.all_gather(cols, axis_name, axis=1,
-                                          tiled=True)
-                gram = gram + shift * jnp.eye(two_m)
-                y = jax.scipy.linalg.cho_solve(
-                    jax.scipy.linalg.cho_factor(gram), eps)
-                delta = (y @ o_full) / m_total  # [P]
-                s_delta = (o_full.T @ (o_full @ delta)) / m_total
-            else:
-                # 'ring' assembly (the P-scaling path): the [2M_tot, P]
-                # score matrix is NEVER materialized — score shards hop
-                # the ring (ppermute), each chip building its Gram block
-                # row from the shard it currently holds. Same total ICI
-                # bytes as the gather, but peak memory drops to
-                # O(2M_loc * P + (2M_tot)^2): in minSR's P >> M regime
-                # that is the difference between fitting and OOM.
-                n_dev = jax.lax.axis_size(axis_name)
-                idx = jax.lax.axis_index(axis_name)
-                m2 = o_local.shape[0]            # 2M_loc (M_loc real)
-                m_total = op.m_local * n_dev
-                perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-
-                def hop(r, carry):
-                    o_rot, row = carry
-                    src = (idx - r) % n_dev      # shard currently held
-                    block = o_local @ o_rot.T    # Gram block (idx, src)
-                    row = jax.lax.dynamic_update_slice(
-                        row, block, (0, src * m2))
-                    return jax.lax.ppermute(o_rot, axis_name, perm), row
-
-                row0 = jnp.zeros((m2, m2 * n_dev), o_local.dtype)
-                _, row = jax.lax.fori_loop(0, n_dev, hop, (o_local, row0))
-                gram = jax.lax.all_gather(row / m_total, axis_name,
-                                          axis=0, tiled=True)
-                two_m = m2 * n_dev
-                eps = jax.lax.all_gather(eps_local, axis_name, axis=0,
-                                         tiled=True)
-                gram = gram + shift * jnp.eye(two_m)
-                y = jax.scipy.linalg.cho_solve(
-                    jax.scipy.linalg.cho_factor(gram), eps)
-                y_local = jax.lax.dynamic_slice(y, (idx * m2,), (m2,))
-                delta = jax.lax.psum(y_local @ o_local, axis_name) / m_total
-                s_delta = jax.lax.psum(
-                    o_local.T @ (o_local @ delta), axis_name) / m_total
+            delta, s_delta = _minsr_delta(o_local, eps_local, shift,
+                                          op.m_local, axis_name,
+                                          self.minsr_assembly)
             # report the parameter-space residual ||(S+shift)d - F|| / ||F||
             s_delta = s_delta + shift * delta
             resid = jnp.linalg.norm(s_delta - b) / jnp.maximum(
@@ -516,3 +544,54 @@ class SR:
             return unravel(x), jnp.zeros((), jnp.int32), resid
 
         raise ValueError(f"unknown solver {self.solver!r}")
+
+    def solve_spring(
+        self,
+        log_psi_fn,
+        params,
+        s: Array,
+        grads,
+        step: Array,
+        delta_prev: Array,
+        axis_name: Optional[str] = None,
+        e_loc=None,
+    ) -> Tuple[Any, Array, Array, Array]:
+        """The SPRING update (momentum > 0, minsr solver only).
+
+        Returns (delta pytree, iters, residual, new flat delta [P] to carry
+        as TrainState.sr_aux). ``delta_prev`` is the previous step's flat
+        natural gradient (zeros at step 0). The solved system satisfies
+        (S + shift) delta = F + shift * mu * delta_prev — at mu=0 this is
+        exactly ``solve``; the residual is reported against that rhs.
+        """
+        if self.solver != "minsr":
+            raise ValueError("SPRING momentum requires solver='minsr' "
+                             f"(got {self.solver!r})")
+        if e_loc is None:
+            raise ValueError("solve_spring needs e_loc")
+        mu = jnp.asarray(self.momentum, jnp.float32)
+        shift = self.diag_shift(step)
+        op = make_jacobian_s(log_psi_fn, params, s, axis_name=axis_name,
+                             chunk_size=self.jacobian_chunk,
+                             with_im=not self.real_log_psi)
+        if self.proportional_shift:
+            shift = shift * jnp.maximum(op.diag_s.mean(), 1e-12)
+        o_local, eps_local = _minsr_rows(op, e_loc, axis_name)
+        b, unravel = jax.flatten_util.ravel_pytree(grads)
+
+        # momentum tail: t = O~ (mu delta_prev) per local row; its projection
+        # S (mu delta_prev) = psum(O~^T t)/M is reused for the residual
+        t = o_local @ (mu * delta_prev)
+        eps_prime = eps_local - t
+        # S (mu delta_prev) = mean over all rows of O~^T t: per-shard mean
+        # then pmean (shards are equal-sized)
+        s_mu = _pmean((o_local.T @ t) / op.m_local, axis_name)
+
+        x, s_x = _minsr_delta(o_local, eps_prime, shift, op.m_local,
+                              axis_name, self.minsr_assembly)
+        delta = x + mu * delta_prev
+        b_spring = b + shift * mu * delta_prev
+        lhs = s_x + s_mu + shift * delta
+        resid = jnp.linalg.norm(lhs - b_spring) / jnp.maximum(
+            jnp.linalg.norm(b_spring), 1e-30)
+        return unravel(delta), jnp.zeros((), jnp.int32), resid, delta

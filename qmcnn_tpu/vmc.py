@@ -23,6 +23,7 @@ import dataclasses
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import optax
 
@@ -50,6 +51,10 @@ class TrainState(NamedTuple):
     opt_state: Any
     walkers: WalkerState
     step: Array  # int32 scalar
+    #: SPRING momentum carry (sr.momentum > 0): the previous step's flat
+    #: natural gradient [P]. None (an empty pytree slot — absent from
+    #: checkpoints, so pre-SPRING checkpoints stay loadable) when unused.
+    sr_aux: Any = None
 
 
 class StepMetrics(NamedTuple):
@@ -116,11 +121,16 @@ class VMC:
 
     def init_state(self, key: Array, n_walkers: int, params) -> TrainState:
         walkers = self.sampler.init_state(params, key, n_walkers)
+        sr_aux = None
+        if self.sr is not None and getattr(self.sr, "momentum", 0.0) > 0:
+            flat, _ = jax.flatten_util.ravel_pytree(params)
+            sr_aux = jnp.zeros_like(flat)
         return TrainState(
             params=params,
             opt_state=self.optimizer.init(params),
             walkers=walkers,
             step=jnp.zeros((), jnp.int32),
+            sr_aux=sr_aux,
         )
 
     def step(self, state: TrainState, key: Array, walker_ids: Array):
@@ -143,11 +153,18 @@ class VMC:
             grads = jax.tree_util.tree_map(jnp.add, grads, pen_grads)
         sr_iters = jnp.zeros((), jnp.int32)
         sr_residual = jnp.zeros(())
+        sr_aux = state.sr_aux
         if self.sr is not None:
-            grads, sr_iters, sr_residual = self.sr.solve(
-                self.log_psi_fn, params, walkers.s, grads, state.step,
-                axis_name=self.axis_name, e_loc=e_loc,
-            )
+            if sr_aux is not None:
+                grads, sr_iters, sr_residual, sr_aux = self.sr.solve_spring(
+                    self.log_psi_fn, params, walkers.s, grads, state.step,
+                    sr_aux, axis_name=self.axis_name, e_loc=e_loc,
+                )
+            else:
+                grads, sr_iters, sr_residual = self.sr.solve(
+                    self.log_psi_fn, params, walkers.s, grads, state.step,
+                    axis_name=self.axis_name, e_loc=e_loc,
+                )
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    params)
         params = optax.apply_updates(params, updates)
@@ -161,7 +178,8 @@ class VMC:
             overlap=overlap,
         )
         new_state = TrainState(params=params, opt_state=opt_state,
-                               walkers=walkers, step=state.step + 1)
+                               walkers=walkers, step=state.step + 1,
+                               sr_aux=sr_aux)
         return new_state, metrics
 
     def thermalize(self, state: TrainState, key: Array, walker_ids: Array,

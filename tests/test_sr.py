@@ -396,3 +396,112 @@ def test_minsr_ring_assembly_matches_gather(real_mode):
     np.testing.assert_allclose(np.asarray(deltas["ring"]),
                                np.asarray(deltas["gather"]),
                                rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# SPRING (momentum minSR, arXiv:2401.10190)
+# ---------------------------------------------------------------------------
+
+def _spring_fixture(seed=11):
+    from qmcnn_tpu.ops.cplx import C
+
+    v, log_psi_fn, s = setup()
+    rng = np.random.default_rng(seed)
+    de_re = rng.normal(size=M).astype(np.float32)
+    de_im = rng.normal(size=M).astype(np.float32)
+    e_loc = C(jnp.asarray(de_re), jnp.asarray(de_im))
+
+    # exact F = O~^T eps / M from dense scores (as in the minsr test)
+    flatp, unravel = jax.flatten_util.ravel_pytree(v)
+
+    def f_re(fp, si):
+        return log_psi_fn(unravel(fp), si[None, :]).re[0]
+
+    def f_im(fp, si):
+        return log_psi_fn(unravel(fp), si[None, :]).im[0]
+
+    j_re = np.asarray(jax.vmap(jax.grad(f_re), (None, 0))(flatp, s))
+    j_im = np.asarray(jax.vmap(jax.grad(f_im), (None, 0))(flatp, s))
+    de_re_c = de_re - de_re.mean()
+    de_im_c = de_im - de_im.mean()
+    jc_re = j_re - j_re.mean(axis=0, keepdims=True)
+    jc_im = j_im - j_im.mean(axis=0, keepdims=True)
+    f_vec = (jc_re.T @ de_re_c + jc_im.T @ de_im_c) / M
+    grads = unravel(jnp.asarray(f_vec.astype(np.float32)))
+    s_dense, _, flat = dense_s(log_psi_fn, v, s)
+    return v, log_psi_fn, s, e_loc, grads, f_vec, s_dense, flat
+
+
+def test_spring_mu0_equals_plain_minsr():
+    v, log_psi_fn, s, e_loc, grads, _, _, flat = _spring_fixture()
+    shift = 0.1
+    kw = dict(solver="minsr", diag_shift0=shift, diag_shift_decay=1.0,
+              diag_shift_min=shift)
+    want, _, _ = SR(**kw).solve(log_psi_fn, v, s, grads, jnp.asarray(0),
+                                e_loc=e_loc)
+    d0 = jnp.zeros((flat.size,), jnp.float32)
+    got, _, res, new_prev = SR(momentum=0.0, **kw).solve_spring(
+        log_psi_fn, v, s, grads, jnp.asarray(0), d0, e_loc=e_loc)
+    a, _ = jax.flatten_util.ravel_pytree(want)
+    b, _ = jax.flatten_util.ravel_pytree(got)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(new_prev), np.asarray(b),
+                               rtol=1e-6)
+    assert float(res) < 1e-3
+
+
+def test_spring_solves_documented_system():
+    """delta must satisfy (S + shift) delta = F + shift * mu * delta_prev
+    (equivalently: delta = mu d + argmin ||O~ x - (eps - mu O~ d)|| + reg)."""
+    v, log_psi_fn, s, e_loc, grads, f_vec, s_dense, flat = _spring_fixture()
+    shift, mu = 0.05, 0.7
+    rng = np.random.default_rng(13)
+    d_prev = rng.normal(size=flat.size).astype(np.float32) * 0.05
+    sr = SR(solver="minsr", momentum=mu, diag_shift0=shift,
+            diag_shift_decay=1.0, diag_shift_min=shift)
+    delta, _, res, new_prev = jax.jit(
+        lambda p, s_, g, st, d, e: sr.solve_spring(log_psi_fn, p, s_, g, st,
+                                                   d, e_loc=e)
+    )(v, s, grads, jnp.asarray(0), jnp.asarray(d_prev), e_loc)
+    d, _ = jax.flatten_util.ravel_pytree(delta)
+    a = s_dense + shift * np.eye(flat.size)
+    want = np.linalg.solve(a, f_vec + shift * mu * d_prev)
+    np.testing.assert_allclose(np.asarray(d), want, rtol=5e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(new_prev), np.asarray(d))
+    assert float(res) < 1e-3
+
+
+def test_spring_rejects_non_minsr():
+    sr = SR(solver="pcg", momentum=0.9)
+    v, log_psi_fn, s = setup()
+    grads = jax.tree_util.tree_map(lambda x: 0.01 * jnp.ones_like(x), v)
+    with pytest.raises(ValueError):
+        sr.solve_spring(log_psi_fn, v, s, grads, jnp.asarray(0),
+                        jnp.zeros((3,)), e_loc=None)
+
+
+def test_spring_training_step_threads_carry():
+    """A VMC step with sr.momentum > 0 produces and updates sr_aux."""
+    from qmcnn_tpu import configs as cfglib
+    from qmcnn_tpu.builder import build
+
+    cfg = cfglib.Config(
+        lattice=cfglib.LatticeConfig(shape=(6,)),
+        model=cfglib.ModelConfig(kind="cnn", channels=(3,), kernel_size=3),
+        hamiltonian=cfglib.HamiltonianConfig(kind="tfim", h=1.0),
+        sampler=cfglib.SamplerConfig(n_walkers=32, n_therm_sweeps=2),
+        sr=cfglib.SRConfig(enabled=True, solver="minsr", momentum=0.8,
+                           diag_shift0=0.01, diag_shift_decay=1.0,
+                           diag_shift_min=0.01),
+        run=cfglib.RunConfig(seed=0, chunk_size=None),
+    )
+    vmc, params, _ = build(cfg)
+    state = vmc.init_state(jax.random.key(0), 32, params)
+    assert state.sr_aux is not None and state.sr_aux.ndim == 1
+    ids = jnp.arange(32)
+    state2, _ = jax.jit(vmc.step)(state, jax.random.key(1), ids)
+    assert float(jnp.linalg.norm(state2.sr_aux)) > 0
+    state3, _ = jax.jit(vmc.step)(state2, jax.random.key(2), ids)
+    assert not np.allclose(np.asarray(state3.sr_aux),
+                           np.asarray(state2.sr_aux))
