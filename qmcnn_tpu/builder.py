@@ -45,6 +45,26 @@ def build_model(cfg: Config, lattice: Lattice):
     m = cfg.model
     if m.translation_average and not lattice.pbc:
         raise ValueError("translation averaging requires periodic boundaries")
+    if lattice.basis > 1:
+        # honeycomb (2-site basis): only CELL translations are lattice
+        # symmetries; anything that ties or averages over per-SITE grid
+        # shifts would impose a non-symmetry on psi
+        for flag, name in ((m.translation_average, "translation_average"),
+                           (m.point_group_average, "point_group_average")):
+            if flag:
+                raise ValueError(
+                    f"model.{name} rolls the flat site grid — not a "
+                    f"symmetry of geometry={lattice.geometry!r}; the CNN's "
+                    f"spatial-sum readout already gives exact cell-"
+                    f"translation invariance")
+        if m.kind == "rbm" and m.rbm_tie_translations:
+            raise ValueError("rbm_tie_translations ties per-site shifts — "
+                             f"not a symmetry of {lattice.geometry!r}; use "
+                             "rbm_tie_translations: false")
+        if m.kind == "arnn" and m.arnn_conv_kernel:
+            raise ValueError("the PixelCNN ARNN trunk rasterizes a 1-site-"
+                             f"basis grid; {lattice.geometry!r} needs the "
+                             "MADE trunk (arnn_conv_kernel: 0)")
     if m.momentum and any(m.momentum):
         # validated before the per-kind branches so a finite-momentum
         # request can never be silently ignored (e.g. by gcnn/rbm, which
@@ -134,6 +154,7 @@ def build_model(cfg: Config, lattice: Lattice):
         init_mode=m.init_mode,
         activation=m.activation,
         residual=m.residual,
+        basis=lattice.basis,
     )
     if m.translation_average:
         inner = TranslationAveraged(inner=inner,
@@ -296,7 +317,10 @@ def resolve_sampler_backend(cfg: Config) -> str:
                  and not cfg.model.complex_params
                  and not cfg.model.translation_average
                  and not cfg.model.point_group_average
-                 and not cfg.model.spin_flip_sector)
+                 and not cfg.model.spin_flip_sector
+                 # the fused kernel's circulant form assumes a 1-site basis
+                 # on the site grid (prod(shape) == n_sites)
+                 and cfg.lattice.geometry != "honeycomb")
     if b == "auto":
         # measured on v5e: pallas wins for single-flip sweeps (+32% at
         # M=1024 flagship shapes); for exchange sweeps the gather-free XLA

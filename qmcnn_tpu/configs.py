@@ -19,9 +19,13 @@ import yaml
 class LatticeConfig:
     shape: Tuple[int, ...] = (16,)
     pbc: bool = True
-    #: 'hypercubic' (chain/square) or 'triangular' (2D; 6 NN per site —
+    #: 'hypercubic' (chain/square), 'triangular' (2D; 6 NN per site —
     #: geometric frustration; requires hamiltonian marshall: false and is
-    #: incompatible with the C4v-based gcnn/point-group projections)
+    #: incompatible with the C4v-based gcnn/point-group projections), or
+    #: 'honeycomb' (2D; shape = CELL grid of the 2-site-basis lattice, so
+    #: n_sites = 2*Lx*Ly; bipartite by basis — Marshall applies; basis
+    #: spins enter the CNN as input channels; per-site tying/averaging
+    #: [gcnn, translation/point-group average, tied RBM] is refused)
     geometry: str = "hypercubic"
 
 

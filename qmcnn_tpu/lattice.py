@@ -34,8 +34,11 @@ class Lattice:
 
     shape: Tuple[int, ...]
     pbc: bool = True
-    #: 'hypercubic' (chain / square; reference geometry) or 'triangular'
-    #: (2D only; 6 NN per site via the (1,0),(0,1),(1,-1) grid offsets)
+    #: 'hypercubic' (chain / square; reference geometry), 'triangular'
+    #: (2D only; 6 NN per site via the (1,0),(0,1),(1,-1) grid offsets), or
+    #: 'honeycomb' (2D; ``shape`` is the CELL grid of the 2-site-basis
+    #: Bravais lattice, so n_sites = 2 * Lx * Ly; 3 NN per site, bipartite
+    #: by basis index for ANY cell-grid size — the Marshall rule applies)
     geometry: str = "hypercubic"
 
     def __post_init__(self):
@@ -43,27 +46,51 @@ class Lattice:
             raise ValueError(f"only 1D/2D lattices supported, got {self.shape}")
         if any(L < 2 for L in self.shape):
             raise ValueError(f"each dimension must be >= 2, got {self.shape}")
-        if self.geometry not in ("hypercubic", "triangular"):
+        if self.geometry not in ("hypercubic", "triangular", "honeycomb"):
             raise ValueError(f"unknown geometry {self.geometry!r}")
-        if self.geometry == "triangular" and len(self.shape) != 2:
-            raise ValueError("triangular geometry needs a 2D shape")
+        if self.geometry in ("triangular", "honeycomb") \
+                and len(self.shape) != 2:
+            raise ValueError(f"{self.geometry} geometry needs a 2D shape")
 
     @property
     def ndim(self) -> int:
         return len(self.shape)
 
     @property
+    def basis(self) -> int:
+        """Sites per unit cell (2 for honeycomb, 1 otherwise). Models
+        consume ``shape`` as the conv grid and ``basis`` as input channels,
+        so weight tying follows the true (cell) translation group."""
+        return 2 if self.geometry == "honeycomb" else 1
+
+    @property
     def n_sites(self) -> int:
-        return int(np.prod(self.shape))
+        return int(np.prod(self.shape)) * self.basis
 
     def site_index(self, coords) -> int:
-        """Row-major flat index of a site given its lattice coordinates."""
+        """Row-major flat index of a site given its lattice coordinates.
+
+        Honeycomb: ``coords`` is (x, y, b) with b the basis index; flat
+        index = (x * Ly + y) * 2 + b (cells row-major, basis fastest — the
+        order models reshape to [B, Lx, Ly, basis])."""
+        if self.basis > 1:
+            *cell, b = coords
+            cell_idx = int(np.ravel_multi_index(
+                [c % L for c, L in zip(cell, self.shape)], self.shape))
+            return cell_idx * self.basis + int(b) % self.basis
         return int(np.ravel_multi_index([c % L for c, L in zip(coords, self.shape)],
                                         self.shape))
 
     @cached_property
     def coords(self) -> np.ndarray:
-        """[n_sites, ndim] integer coordinates of every site."""
+        """[n_sites, ndim] integer coordinates of every site (honeycomb:
+        [n_sites, ndim+1] with the basis index appended)."""
+        if self.basis > 1:
+            cells = np.stack(np.unravel_index(
+                np.arange(int(np.prod(self.shape))), self.shape), axis=-1)
+            cells = np.repeat(cells, self.basis, axis=0)
+            b = np.tile(np.arange(self.basis), int(np.prod(self.shape)))
+            return np.concatenate([cells, b[:, None]], axis=1)
         return np.stack(np.unravel_index(np.arange(self.n_sites), self.shape), axis=-1)
 
     @cached_property
@@ -71,9 +98,13 @@ class Lattice:
         """Nearest-neighbor bonds as an [n_bonds, 2] int32 array of site pairs.
 
         Chain: (i, i+1) for all i (wrapping if pbc) -> N bonds (N-1 if open).
-        Square: +x and +y neighbors -> 2*N bonds under PBC. Each bond appears
-        exactly once.
+        Square: +x and +y neighbors -> 2*N bonds under PBC. Honeycomb:
+        A(x,y) bonds to B at cells (x,y), (x-1,y), (x,y-1) -> 3 per cell
+        (degree 3, always A-B). Each bond appears exactly once.
         """
+        if self.geometry == "honeycomb":
+            return self._honeycomb_bonds(
+                [(0, 0), (-1, 0), (0, -1)], intra=False)
         return self._bonds_for_offsets(self._nn_offsets())
 
     @cached_property
@@ -81,8 +112,13 @@ class Lattice:
         """Next-nearest-neighbor bonds ([n, 2] int32).
 
         Chain: (i, i+2). Square: both diagonals (+x+y) and (+x-y) -> 2*N bonds
-        under PBC. Used by the J1-J2 model's J2 couplings.
+        under PBC. Honeycomb: the 6 same-sublattice neighbors per site (the
+        underlying triangular cell lattice's NN shell). Used by the J1-J2
+        model's J2 couplings.
         """
+        if self.geometry == "honeycomb":
+            return self._honeycomb_bonds(
+                [(1, 0), (0, 1), (1, -1)], intra=True)
         return self._bonds_for_offsets(self._nnn_offsets())
 
     def _nn_offsets(self):
@@ -127,27 +163,65 @@ class Lattice:
                 bonds.append((i, j))
         return np.asarray(bonds, dtype=np.int32).reshape(-1, 2)
 
+    def _honeycomb_bonds(self, cell_offsets, intra: bool) -> np.ndarray:
+        """Bond list for the 2-site-basis honeycomb.
+
+        ``intra=False``: A(x,y)-B(cell+off) inter-sublattice bonds (NN).
+        ``intra=True``: same-basis bonds at the given cell offsets, for both
+        sublattices (NNN shell = the triangular cell lattice's NN shell).
+        """
+        bonds = []
+        seen = set()
+        lx, ly = self.shape
+        for x in range(lx):
+            for y in range(ly):
+                for off in cell_offsets:
+                    cx, cy = x + off[0], y + off[1]
+                    if not self.pbc and not (0 <= cx < lx and 0 <= cy < ly):
+                        continue
+                    if intra:
+                        pairs = [((x, y, b), (cx, cy, b))
+                                 for b in range(self.basis)]
+                    else:
+                        pairs = [((x, y, 0), (cx, cy, 1))]
+                    for ca, cb in pairs:
+                        i, j = self.site_index(ca), self.site_index(cb)
+                        if i == j:
+                            continue  # wrap self-bond on L=2 intra shells
+                        pair = (min(i, j), max(i, j))
+                        if pair in seen:
+                            continue
+                        seen.add(pair)
+                        bonds.append(pair)
+        return np.asarray(bonds, dtype=np.int32).reshape(-1, 2)
+
     @cached_property
     def sublattice_mask(self) -> np.ndarray:
-        """[n_sites] int32 in {0,1}: bipartite A/B checkerboard mask.
+        """[n_sites] int32 in {0,1}: bipartite A/B mask.
 
-        A site is on sublattice B iff the sum of its coordinates is odd. Used
-        by the Marshall sign rule (SURVEY.md R4a) for bipartite Heisenberg.
-        Only meaningful when all dims are even (true for all reference
-        configs: 16, 40, 8x8, 10x10).
+        Hypercubic: checkerboard (coordinate-sum parity); meaningful when
+        all dims are even (true for all reference configs: 16, 40, 8x8,
+        10x10). Honeycomb: the basis index — every NN bond is A-B by
+        construction, for any cell-grid size. Used by the Marshall sign
+        rule (SURVEY.md R4a).
         """
+        if self.geometry == "honeycomb":
+            return self.coords[:, -1].astype(np.int32)
         return (self.coords.sum(axis=1) % 2).astype(np.int32)
 
     @cached_property
     def is_bipartite_compatible(self) -> bool:
-        """True if the NN graph is two-colorable by the checkerboard mask.
+        """True if the NN graph is two-colorable by sublattice_mask.
 
         Triangular lattices contain odd cycles (triangles) and are never
-        bipartite; hypercubic lattices additionally need even dims under
-        PBC so the wrap preserves the coloring.
+        bipartite; honeycomb is bipartite by basis for any size; hypercubic
+        lattices additionally need even dims under PBC so the wrap
+        preserves the coloring.
         """
         if self.geometry == "triangular":
             return False
+        if self.geometry == "honeycomb":
+            return True
         return all(L % 2 == 0 for L in self.shape) or not self.pbc
 
 
@@ -162,3 +236,9 @@ def square(lx: int, ly: int | None = None, pbc: bool = True) -> Lattice:
 def triangular(lx: int, ly: int | None = None, pbc: bool = True) -> Lattice:
     return Lattice((lx, ly if ly is not None else lx), pbc=pbc,
                    geometry="triangular")
+
+
+def honeycomb(lx: int, ly: int | None = None, pbc: bool = True) -> Lattice:
+    """Honeycomb with an (lx, ly) CELL grid: n_sites = 2 * lx * ly."""
+    return Lattice((lx, ly if ly is not None else lx), pbc=pbc,
+                   geometry="honeycomb")

@@ -329,6 +329,11 @@ class LogPsiCNN(nn.Module):
     #: channel counts (never the first — shape change — nor the last layer,
     #: whose shrunk init a skip would bypass; see LogPsiGCNN.residual)
     residual: bool = False
+    #: sites per unit cell (honeycomb: 2). The conv grid is the CELL grid
+    #: (``lattice_shape``) and the basis spins enter as input channels, so
+    #: weight tying follows the true (cell) translation group and the
+    #: spatial-sum readout is invariant under exactly those translations.
+    basis: int = 1
 
     @nn.compact
     def __call__(self, s: Array) -> C:
@@ -338,7 +343,8 @@ class LogPsiCNN(nn.Module):
         if isinstance(ksz, int):
             ksz = (ksz,) * len(self.lattice_shape)
         ksz = tuple(min(k, L) for k, L in zip(ksz, self.lattice_shape))
-        x = s.reshape(batch, *self.lattice_shape, 1).astype(jnp.float32)
+        x = s.reshape(batch, *self.lattice_shape,
+                      self.basis).astype(jnp.float32)
 
         def final_extra(i, c):
             # shrink the last layer under fan_in so the spatial-sum readout
