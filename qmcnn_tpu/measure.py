@@ -14,6 +14,7 @@ import argparse
 import json
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from qmcnn_tpu import configs as cfglib
@@ -29,7 +30,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             fidelity_ckpt: str | None = None,
             fidelity_step: int | None = None,
             lanczos: bool = False,
-            total_spin: bool = False):
+            total_spin: bool = False,
+            dimer: bool = False):
     sharded, params, lattice = build_sharded(cfg)
     vmc = sharded.vmc
     key = jax.random.key(cfg.run.seed + 12345)
@@ -60,27 +62,44 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
     n = lattice.n_sites
     e_trace, m_trace, mst_trace, ss_trace = [], [], [], []
     corr_acc = np.zeros(n)
-    # full S_i.S_{i+r} at the nearest-neighbor displacement (the bond
-    # energy per bond direction; costs N forwards/walker, so just NN here —
-    # observables.spin_spin_correlation does any r on demand)
-    nn_disp = int(np.ravel_multi_index(
-        tuple([1] + [0] * (lattice.ndim - 1)), lattice.shape))
+    dimer_acc = np.zeros(n)
+    dimer_mean_trace = []
+    # displacement-indexed estimators need a 1-site-basis grid (honeycomb
+    # reports the basis-agnostic observables only)
+    on_grid = lattice.basis == 1
+    if dimer and not (on_grid and lattice.ndim == 2):
+        raise ValueError("--dimer needs a 2D 1-site-basis lattice")
+    nn_disp = None
+    if on_grid:
+        # full S_i.S_{i+r} at the nearest-neighbor displacement (the bond
+        # energy per bond direction; costs N forwards/walker, so just NN
+        # here — observables.spin_spin_correlation does any r on demand)
+        nn_disp = int(np.ravel_multi_index(
+            tuple([1] + [0] * (lattice.ndim - 1)), lattice.shape))
 
     @jax.jit
     def measure_once(state):
         walkers = state.walkers
         e = local_energy(vmc.log_psi_fn, state.params, vmc.ham, walkers.s,
                          walkers.log_psi)
-        ss_nn = observables.spin_spin_correlation(
-            vmc.log_psi_fn, state.params, walkers.s, walkers.log_psi,
-            lattice, nn_disp,
-            marshall=(cfg.hamiltonian.kind in ("heisenberg", "j1j2")
-                      and cfg.hamiltonian.marshall))
+        if on_grid:
+            ss_nn = observables.spin_spin_correlation(
+                vmc.log_psi_fn, state.params, walkers.s, walkers.log_psi,
+                lattice, nn_disp,
+                marshall=(cfg.hamiltonian.kind in ("heisenberg", "j1j2")
+                          and cfg.hamiltonian.marshall)).re
+            corr = observables.szsz_correlation(walkers.s, lattice)
+        else:
+            ss_nn = jnp.zeros(())
+            corr = jnp.zeros((n,))
+        if dimer:
+            dcorr, dmean = observables.dimer_correlation(walkers.s, lattice)
+        else:
+            dcorr, dmean = jnp.zeros((n,)), jnp.zeros(())
         return (e.mean().re,
                 observables.magnetization(walkers.s),
                 observables.staggered_magnetization_sq(walkers.s, lattice),
-                observables.szsz_correlation(walkers.s, lattice),
-                ss_nn.re)
+                corr, ss_nn, dcorr, dmean)
 
     lz_e1, lz_g = [], []
     if lanczos:
@@ -103,12 +122,14 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
     for i in range(n_samples):
         state = sharded.thermalize(state, jax.random.fold_in(key, 100 + i),
                                    n_sweeps=sweeps_between)
-        e, m, mst, corr, ss_nn = measure_once(state)
+        e, m, mst, corr, ss_nn, dcorr, dmean = measure_once(state)
         e_trace.append(float(e))
         m_trace.append(float(m))
         mst_trace.append(float(mst))
         ss_trace.append(float(ss_nn))
         corr_acc += np.asarray(corr)
+        dimer_acc += np.asarray(dcorr)
+        dimer_mean_trace.append(float(dmean))
         if lanczos:
             e1_i, g_i = lanczos_once(state)
             lz_e1.append(np.asarray(e1_i.to_numpy()))
@@ -147,7 +168,6 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             state.walkers.s, state2.walkers.s))
 
     corr = corr_acc / n_samples
-    sq = observables.structure_factor(corr, lattice)
     report = {
         "step": int(loaded_step) if loaded_step is not None else 0,
         "energy": float(np.mean(e_trace)),
@@ -155,11 +175,22 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         "energy_per_site": float(np.mean(e_trace)) / n,
         "magnetization": float(np.mean(m_trace)),
         "staggered_m2": float(np.mean(mst_trace)),
-        "spin_spin_nn": float(np.mean(ss_trace)),
         "szsz_corr": corr.tolist(),
-        "structure_factor_peak": float(sq.max()),
-        "structure_factor_peak_q_index": int(sq.argmax()),
     }
+    if on_grid:
+        sq = observables.structure_factor(corr, lattice)
+        report["spin_spin_nn"] = float(np.mean(ss_trace))
+        report["structure_factor_peak"] = float(sq.max())
+        report["structure_factor_peak_q_index"] = int(sq.argmax())
+    if dimer:
+        d_mean = float(np.mean(dimer_mean_trace))
+        sd = observables.dimer_structure_factor(
+            dimer_acc / n_samples, d_mean, lattice)
+        report["dimer_mean"] = d_mean
+        # columnar VBS (x-bonds) peaks at q = (pi, 0) = index [Lx/2, 0]
+        report["dimer_sf_pi0"] = float(sd[lattice.shape[0] // 2, 0])
+        report["dimer_sf_peak"] = float(sd.max())
+        report["dimer_sf_peak_q_index"] = int(sd.argmax())
     if fid is not None:
         report["fidelity_vs_ckpt"] = fid
     if s2 is not None:
@@ -200,6 +231,9 @@ def main(argv=None):
     p.add_argument("--total-spin", action="store_true",
                    help="also report <S^2> of the total spin (singlet 0, "
                         "triplet 2, ...; costs N(N-1)/2 forwards/walker)")
+    p.add_argument("--dimer", action="store_true",
+                   help="also report z-dimer correlations + structure "
+                        "factor (VBS order probe; 2D square lattices)")
     p.add_argument("--override", action="append", default=[])
     args = p.parse_args(argv)
     cfg = cfglib.load(args.config, tuple(args.override))
@@ -208,7 +242,8 @@ def main(argv=None):
                      fidelity_ckpt=args.fidelity_ckpt,
                      fidelity_step=args.fidelity_step,
                      lanczos=args.lanczos_step,
-                     total_spin=args.total_spin)
+                     total_spin=args.total_spin,
+                     dimer=args.dimer)
     print(json.dumps({k: v for k, v in report.items() if k != "szsz_corr"},
                      indent=2))
     print("szsz_corr:", np.array2string(np.asarray(report["szsz_corr"]),

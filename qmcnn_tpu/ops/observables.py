@@ -37,6 +37,16 @@ def magnetization_sq(s: Array, axis_name: Optional[str] = None) -> Array:
     return pmean((m * m).mean(), axis_name)
 
 
+def _require_site_grid(lattice: Lattice, what: str) -> None:
+    """Displacement-indexed estimators reshape flat sites to the grid —
+    only valid for 1-site-basis lattices (prod(shape) == n_sites)."""
+    if lattice.basis > 1:
+        raise ValueError(
+            f"{what} indexes displacements on the site grid; "
+            f"geometry={lattice.geometry!r} has a {lattice.basis}-site "
+            f"basis — use per-sublattice estimators instead")
+
+
 def szsz_correlation(s: Array, lattice: Lattice,
                      axis_name: Optional[str] = None) -> Array:
     """C(r) = <S^z_0 S^z_r> averaged over translations, [n_sites] array.
@@ -45,6 +55,7 @@ def szsz_correlation(s: Array, lattice: Lattice,
     computed with one [M, N] x [M, N] rolled product per displacement via an
     FFT-free roll loop (N is small; this is host-trace-time unrolled).
     """
+    _require_site_grid(lattice, "szsz_correlation")
     m, n = s.shape
     sz = s.reshape(m, *lattice.shape) / 2.0
     axes = tuple(range(1, 1 + lattice.ndim))
@@ -81,8 +92,9 @@ def spin_spin_connected(lattice: Lattice, displacement: int,
 
     (S^+_i S^-_j + S^-_i S^+_j)/2 flips an anti-aligned pair with
     coefficient 1/2; aligned pairs contribute 0 (masked). ``displacement``
-    indexes the lattice like a site (same convention as szsz_correlation);
-    must be nonzero (r = 0 has no off-diagonal part).
+    indexes the lattice like a site (same convention as szsz_correlation;
+    1-site-basis lattices only); must be nonzero (r = 0 has no
+    off-diagonal part).
 
     ``marshall=True`` when the wavefunction was trained in the
     Marshall-rotated basis (hamiltonian.marshall, the Heisenberg/J1-J2
@@ -91,6 +103,7 @@ def spin_spin_connected(lattice: Lattice, displacement: int,
     transverse correlation has the wrong sign (caught by a live run: NN
     <S_i.S_j> came out +0.15 on a 4x4 AFM ground state instead of ~ -0.35).
     """
+    _require_site_grid(lattice, "spin_spin_connected")
     n = lattice.n_sites
     coords = np.asarray(lattice.coords)
     shape = np.asarray(lattice.shape)
@@ -163,6 +176,50 @@ def offdiag_observable(log_psi_fn, params, s: Array, log_psi: C,
     o_loc = C((w * ratio.re).sum(-1), (w * ratio.im).sum(-1))
     return C(pmean(o_loc.re.mean(), axis_name),
              pmean(o_loc.im.mean(), axis_name))
+
+
+def dimer_correlation(s: Array, lattice: Lattice, direction: int = 0,
+                      axis_name: Optional[str] = None
+                      ) -> tuple[Array, Array]:
+    """z-dimer correlations: the (diagonal, configuration-only) probe of
+    valence-bond-solid order, the competing order at J1-J2 ~ 0.5
+    (SURVEY.md §6's frustrated configs).
+
+    With the bond-dimer field d_i = S^z_i S^z_{i+e_a} (a = ``direction``),
+    returns (C_D [n_sites], <d>):  C_D(r) = mean_i <d_i d_{i+r}> — the
+    CONNECTED correlator and structure factor are formed downstream via
+    <d>. Full SU(2) dimer correlators need 4-point off-diagonal terms
+    (4 forwards per pair); the z-z component shares the same symmetry
+    breaking pattern and is the standard cheap probe. 2D hypercubic only.
+    """
+    _require_site_grid(lattice, "dimer_correlation")
+    if lattice.ndim != 2:
+        raise ValueError("dimer_correlation is for 2D lattices")
+    m, n = s.shape
+    sz = s.reshape(m, *lattice.shape) / 2.0
+    axes = (1, 2)
+    shift = [0, 0]
+    shift[direction] = -1  # neighbor at +e_a
+    d = sz * jnp.roll(sz, tuple(shift), axis=axes)   # [M, Lx, Ly]
+    cs = []
+    coords = lattice.coords
+    for r in range(n):
+        sh = tuple(int(c) for c in coords[r])
+        cs.append((d * jnp.roll(d, sh, axis=axes)).reshape(m, -1).mean())
+    c = jnp.stack(cs)
+    d_mean = d.reshape(m, -1).mean()
+    return pmean(c, axis_name), pmean(d_mean, axis_name)
+
+
+def dimer_structure_factor(corr: Array, d_mean: float, lattice: Lattice
+                           ) -> np.ndarray:
+    """S_D(q) = |FFT[C_D(r) - <d>^2]| (host-side).
+
+    Columnar VBS order peaks at q = (pi, 0) for x-bonds; the connected
+    subtraction removes the trivial q = 0 weight of <d> != 0.
+    """
+    c = np.asarray(corr).reshape(lattice.shape) - float(d_mean) ** 2
+    return np.abs(np.fft.fftn(c))
 
 
 def total_spin_sq(log_psi_fn, params, s: Array, log_psi: C,

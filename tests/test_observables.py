@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qmcnn_tpu.lattice import chain, square
 from qmcnn_tpu.models.cnn import LogPsiCNN, log_psi_apply
@@ -135,3 +136,53 @@ def test_spin_spin_correlation_vs_dense_expectation():
         want_m = float(psi @ dense_rot @ psi) / float(psi @ psi)
         np.testing.assert_allclose(float((w * o_loc_m).sum()), want_m,
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_dimer_correlation_brute_force():
+    """dimer_correlation vs an index-level numpy brute force on random
+    configurations, plus the Neel-state analytic check (connected S_D = 0)."""
+    from qmcnn_tpu.lattice import square
+    from qmcnn_tpu.ops.observables import (dimer_correlation,
+                                           dimer_structure_factor)
+
+    lat = square(4)
+    rng = np.random.default_rng(3)
+    s = (2.0 * rng.integers(0, 2, size=(7, 16)) - 1.0).astype(np.float32)
+    corr, dmean = dimer_correlation(jnp.asarray(s), lat)
+
+    # brute force: d[i] = sz_i sz_{i+x}; C(r) = mean_m mean_i d_i d_{i+r}
+    coords = lat.coords
+    shape = np.asarray(lat.shape)
+    nxt = np.ravel_multi_index(((coords + [1, 0]) % shape).T, lat.shape)
+    d = (s / 2.0) * (s[:, nxt] / 2.0)          # [M, N]
+    want_mean = d.mean()
+    want = np.zeros(16)
+    for r in range(16):
+        perm = np.ravel_multi_index(((coords + coords[r]) % shape).T,
+                                    lat.shape)
+        want[r] = (d * d[:, perm]).mean()
+    np.testing.assert_allclose(np.asarray(corr), want, atol=1e-6)
+    np.testing.assert_allclose(float(dmean), want_mean, atol=1e-6)
+
+    # perfect Neel state: d = -1/4 on every bond -> connected S_D(q) == 0
+    neel = (1.0 - 2.0 * ((coords.sum(axis=1)) % 2)).astype(np.float32)
+    corr_n, dmean_n = dimer_correlation(jnp.asarray(neel[None, :]), lat)
+    np.testing.assert_allclose(float(dmean_n), -0.25, atol=1e-6)
+    sd = dimer_structure_factor(corr_n, float(dmean_n), lat)
+    np.testing.assert_allclose(sd, 0.0, atol=1e-5)
+
+
+def test_displacement_observables_refuse_multisite_basis():
+    from qmcnn_tpu.lattice import honeycomb
+    from qmcnn_tpu.ops.observables import (dimer_correlation,
+                                           spin_spin_connected,
+                                           szsz_correlation)
+
+    lat = honeycomb(2, 2)
+    s = jnp.ones((3, lat.n_sites), jnp.float32)
+    with pytest.raises(ValueError, match="basis"):
+        szsz_correlation(s, lat)
+    with pytest.raises(ValueError, match="basis"):
+        spin_spin_connected(lat, 1)
+    with pytest.raises(ValueError, match="basis"):
+        dimer_correlation(s, lat)
