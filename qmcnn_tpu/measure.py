@@ -61,12 +61,12 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
 
     n = lattice.n_sites
     e_trace, m_trace, mst_trace, ss_trace = [], [], [], []
-    corr_acc = np.zeros(n)
+    # on a 1-site basis corr is C(r) [n_sites]; with a basis it is the
+    # sublattice-resolved C_ab(r) flattened to [basis^2 * n_cells]
+    on_grid = lattice.basis == 1
+    corr_acc = np.zeros(n if on_grid else lattice.basis * n)
     dimer_acc = np.zeros(n)
     dimer_mean_trace = []
-    # displacement-indexed estimators need a 1-site-basis grid (honeycomb
-    # reports the basis-agnostic observables only)
-    on_grid = lattice.basis == 1
     if dimer and not (on_grid and lattice.ndim == 2):
         raise ValueError("--dimer needs a 2D 1-site-basis lattice")
     nn_disp = None
@@ -91,7 +91,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             corr = observables.szsz_correlation(walkers.s, lattice)
         else:
             ss_nn = jnp.zeros(())
-            corr = jnp.zeros((n,))
+            corr = observables.szsz_correlation_basis(
+                walkers.s, lattice).reshape(-1)
         if dimer:
             dcorr, dmean = observables.dimer_correlation(walkers.s, lattice)
         else:
@@ -182,6 +183,18 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         report["spin_spin_nn"] = float(np.mean(ss_trace))
         report["structure_factor_peak"] = float(sq.max())
         report["structure_factor_peak_q_index"] = int(sq.argmax())
+    else:
+        # szsz_corr holds the sublattice-resolved C_ab(r) flattened from
+        # [basis, basis, n_cells]
+        sq = observables.structure_factor_basis(corr, lattice)
+        report["structure_factor_peak"] = float(sq.max())
+        report["structure_factor_peak_q_index"] = int(sq.argmax())
+        if lattice.is_bipartite_compatible:
+            # bipartite BY BASIS (honeycomb): the Neel order parameter is
+            # basis-staggered and peaks at q = 0
+            sq_st = observables.structure_factor_basis(
+                corr, lattice, phases=(-1.0) ** np.arange(lattice.basis))
+            report["neel_sf_q0"] = float(sq_st.reshape(-1)[0])
     if dimer:
         d_mean = float(np.mean(dimer_mean_trace))
         sd = observables.dimer_structure_factor(

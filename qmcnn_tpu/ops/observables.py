@@ -78,6 +78,52 @@ def structure_factor(corr: Array, lattice: Lattice) -> np.ndarray:
     return np.abs(np.fft.fftn(c))
 
 
+def szsz_correlation_basis(s: Array, lattice: Lattice,
+                           axis_name: Optional[str] = None) -> Array:
+    """Sublattice-resolved C_ab(r) for multi-site-basis lattices.
+
+    Returns [basis, basis, n_cells] with
+    C_ab(r) = mean_c <S^z_{(c,a)} S^z_{(c+r,b)}> — the displacement r runs
+    over CELL translations (the actual symmetry group of a Bravais lattice
+    with a basis; per-site grid rolls are not symmetries there, which is
+    why szsz_correlation refuses basis > 1). Works for basis == 1 too,
+    where C_00(r) reproduces szsz_correlation exactly.
+    """
+    m = s.shape[0]
+    sz = s.reshape(m, *lattice.shape, lattice.basis) / 2.0
+    axes = tuple(range(1, 1 + lattice.ndim))
+    n_cells = int(np.prod(lattice.shape))
+    cell_coords = np.stack(
+        np.unravel_index(np.arange(n_cells), lattice.shape), axis=-1)
+    cs = []
+    for r in range(n_cells):
+        # roll by -r so rolled[c] = sz[c + r] (pins the a->b direction;
+        # C_ab is not symmetric in (a, b) at fixed r, only under
+        # (a, b, r) -> (b, a, -r))
+        shift = tuple(-int(c) for c in cell_coords[r])
+        rolled = jnp.roll(sz, shift, axis=axes)
+        cs.append(jnp.einsum("m...a,m...b->ab", sz, rolled) / (m * n_cells))
+    c = jnp.stack(cs, axis=-1)  # [basis, basis, n_cells]
+    return pmean(c, axis_name)
+
+
+def structure_factor_basis(corr: Array, lattice: Lattice,
+                           phases=None) -> np.ndarray:
+    """S_w(q) = |sum_ab w_a* w_b FFT_r[C_ab](q)| on the cell reciprocal
+    grid (host-side), from szsz_correlation_basis output.
+
+    ``phases`` is a [basis] weight vector w: all-ones probes uniform
+    (ferro) order; the honeycomb Neel order parameter is w = (1, -1)
+    (staggered BY BASIS — its peak sits at q = 0 because the two Neel
+    sublattices live in the same cell).
+    """
+    b = lattice.basis
+    c = np.asarray(corr).reshape(b, b, *lattice.shape)
+    w = np.ones(b) if phases is None else np.asarray(phases)
+    f = np.fft.fftn(c, axes=tuple(range(2, 2 + lattice.ndim)))
+    return np.abs(np.einsum("a,b,ab...->...", np.conj(w), w, f))
+
+
 def staggered_magnetization_sq(s: Array, lattice: Lattice,
                                axis_name: Optional[str] = None) -> Array:
     """<M_st^2> with M_st = (1/N) sum_i (-1)^i S^z_i — AFM order parameter."""

@@ -49,7 +49,7 @@ def test_baseline_configs_build(path):
     """Every shipped BASELINE config must load and build end-to-end."""
     cfg = cfglib.load(path)
     vmc, params, lattice = build(cfg)
-    assert lattice.n_sites == int(np.prod(cfg.lattice.shape))
+    assert lattice.n_sites == int(np.prod(cfg.lattice.shape)) * lattice.basis
     # one cheap forward to prove model/params wiring
     s = jnp.ones((2, lattice.n_sites), jnp.float32)
     out = vmc.log_psi_fn(params, s)

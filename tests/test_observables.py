@@ -186,3 +186,60 @@ def test_displacement_observables_refuse_multisite_basis():
         spin_spin_connected(lat, 1)
     with pytest.raises(ValueError, match="basis"):
         dimer_correlation(s, lat)
+
+
+def test_szsz_correlation_basis_brute_force():
+    """C_ab(r) vs an index-level numpy oracle on random honeycomb configs,
+    plus basis=1 equality with szsz_correlation."""
+    from qmcnn_tpu.lattice import honeycomb
+    from qmcnn_tpu.ops.observables import (szsz_correlation,
+                                           szsz_correlation_basis)
+
+    lat = honeycomb(2, 3)  # 6 cells, 12 sites
+    rng = np.random.default_rng(11)
+    s = (2.0 * rng.integers(0, 2, size=(5, lat.n_sites)) - 1.0
+         ).astype(np.float32)
+    corr = np.asarray(szsz_correlation_basis(jnp.asarray(s), lat))
+    assert corr.shape == (2, 2, 6)
+
+    # oracle: site (cell c, basis a) has flat index c*basis + a; C_ab(r) =
+    # mean_m mean_c sz[c, a] sz[(c + r) % L, b]
+    n_cells = 6
+    cells = np.stack(np.unravel_index(np.arange(n_cells), lat.shape), -1)
+    shape = np.asarray(lat.shape)
+    sz = (s / 2.0).reshape(5, n_cells, 2)
+    for a in range(2):
+        for b in range(2):
+            for r in range(n_cells):
+                perm = np.ravel_multi_index(((cells + cells[r]) % shape).T,
+                                            lat.shape)
+                want = (sz[:, :, a] * sz[:, perm, b]).mean()
+                np.testing.assert_allclose(corr[a, b, r], want, atol=1e-6)
+
+    # basis == 1 reduces to szsz_correlation exactly
+    lat1 = square(4)
+    s1 = (2.0 * rng.integers(0, 2, size=(5, 16)) - 1.0).astype(np.float32)
+    c1 = szsz_correlation_basis(jnp.asarray(s1), lat1)
+    c0 = szsz_correlation(jnp.asarray(s1), lat1)
+    np.testing.assert_allclose(np.asarray(c1)[0, 0], np.asarray(c0),
+                               atol=1e-6)
+
+
+def test_structure_factor_basis_neel_state():
+    """Perfect basis-Neel honeycomb state: staggered-phase S(q) peaks at
+    q = 0 with weight n_cells; uniform-phase S(q) vanishes identically."""
+    from qmcnn_tpu.lattice import honeycomb
+    from qmcnn_tpu.ops.observables import (structure_factor_basis,
+                                           szsz_correlation_basis)
+
+    lat = honeycomb(4, 4)
+    n_cells = 16
+    neel = np.tile(np.array([1.0, -1.0], np.float32), n_cells)
+    corr = szsz_correlation_basis(jnp.asarray(neel[None, :]), lat)
+    sq_st = structure_factor_basis(corr, lat, phases=(1.0, -1.0))
+    sq_u = structure_factor_basis(corr, lat)
+    assert sq_st.shape == (4, 4)
+    np.testing.assert_allclose(sq_st[0, 0], n_cells, atol=1e-5)
+    sq_st[0, 0] = 0.0
+    np.testing.assert_allclose(sq_st, 0.0, atol=1e-5)
+    np.testing.assert_allclose(sq_u, 0.0, atol=1e-5)
