@@ -25,13 +25,31 @@ from qmcnn_tpu.utils.checkpoint import CheckpointManager
 from qmcnn_tpu.utils.metrics import binned_stderr
 
 
+def parse_region(spec: str, n_sites: int) -> np.ndarray:
+    """Region spec -> [N] 0/1 float mask: 'half' (first N/2 sites),
+    'a:b' (site slice), or a comma list of site indices."""
+    mask = np.zeros(n_sites, np.float32)
+    if spec == "half":
+        mask[: n_sites // 2] = 1.0
+    elif ":" in spec:
+        lo, hi = spec.split(":")
+        mask[int(lo or 0): int(hi or n_sites)] = 1.0
+    else:
+        mask[[int(t) for t in spec.split(",")]] = 1.0
+    if not 0 < mask.sum() < n_sites:
+        raise ValueError(f"region {spec!r} must be a proper subset of "
+                         f"the {n_sites} sites")
+    return mask
+
+
 def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             sweeps_between: int = 2, therm_sweeps: int = 20,
             fidelity_ckpt: str | None = None,
             fidelity_step: int | None = None,
             lanczos: bool = False,
             total_spin: bool = False,
-            dimer: bool = False):
+            dimer: bool = False,
+            renyi2_region: str | None = None):
     sharded, params, lattice = build_sharded(cfg)
     vmc = sharded.vmc
     key = jax.random.key(cfg.run.seed + 12345)
@@ -76,6 +94,30 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         # here — observables.spin_spin_correlation does any r on demand)
         nn_disp = int(np.ravel_multi_index(
             tuple([1] + [0] * (lattice.ndim - 1)), lattice.shape))
+
+    region = None
+    if renyi2_region is not None:
+        region = jnp.asarray(parse_region(renyi2_region, n))
+        # exchange-family moves keep walkers in one S^z sector; the swap
+        # estimator must then mask mismatched-region pairs (see
+        # observables.renyi2_swap docstring)
+        sector_mask = cfg.sampler.move.startswith("exchange") or (
+            getattr(cfg.sampler, "kind", "metropolis") == "direct"
+            and cfg.model.kind == "arnn")
+
+        @jax.jit
+        def renyi2_once(state):
+            # pair even/odd walkers: independent chains by construction
+            s, lp = state.walkers.s, state.walkers.log_psi
+            from qmcnn_tpu.ops.cplx import C as _C
+            s1, s2 = s[0::2], s[1::2]
+            lp1 = _C(lp.re[0::2], lp.im[0::2])
+            lp2 = _C(lp.re[1::2], lp.im[1::2])
+            return observables.renyi2_swap(
+                vmc.log_psi_fn, state.params, s1, s2, lp1, lp2, region,
+                sector_mask=sector_mask)
+
+    swap_trace = []
 
     @jax.jit
     def measure_once(state):
@@ -135,6 +177,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             e1_i, g_i = lanczos_once(state)
             lz_e1.append(np.asarray(e1_i.to_numpy()))
             lz_g.append(np.asarray(g_i.to_numpy()))
+        if region is not None:
+            swap_trace.append(float(renyi2_once(state).re))
 
     s2 = None
     if total_spin:
@@ -204,6 +248,14 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         report["dimer_sf_pi0"] = float(sd[lattice.shape[0] // 2, 0])
         report["dimer_sf_peak"] = float(sd.max())
         report["dimer_sf_peak_q_index"] = int(sd.argmax())
+    if region is not None:
+        # average the Tr(rho_A^2) estimates, THEN -ln (log of the mean;
+        # mean-of-logs is biased for a noisy positive estimator)
+        swap_mean = float(np.mean(swap_trace))
+        report["renyi2_swap_mean"] = swap_mean
+        report["renyi2_swap_err"] = binned_stderr(np.asarray(swap_trace))
+        report["renyi2_entropy"] = observables.renyi2_entropy(swap_mean)
+        report["renyi2_region_size"] = int(np.asarray(region).sum())
     if fid is not None:
         report["fidelity_vs_ckpt"] = fid
     if s2 is not None:
@@ -247,6 +299,10 @@ def main(argv=None):
     p.add_argument("--dimer", action="store_true",
                    help="also report z-dimer correlations + structure "
                         "factor (VBS order probe; 2D square lattices)")
+    p.add_argument("--renyi2", default=None, metavar="REGION",
+                   help="also report the Renyi-2 entanglement entropy of a "
+                        "region via the replica swap trick: 'half', a site "
+                        "slice 'a:b', or a comma list of sites")
     p.add_argument("--override", action="append", default=[])
     args = p.parse_args(argv)
     cfg = cfglib.load(args.config, tuple(args.override))
@@ -256,7 +312,8 @@ def main(argv=None):
                      fidelity_step=args.fidelity_step,
                      lanczos=args.lanczos_step,
                      total_spin=args.total_spin,
-                     dimer=args.dimer)
+                     dimer=args.dimer,
+                     renyi2_region=args.renyi2)
     print(json.dumps({k: v for k, v in report.items() if k != "szsz_corr"},
                      indent=2))
     print("szsz_corr:", np.array2string(np.asarray(report["szsz_corr"]),

@@ -224,6 +224,70 @@ def offdiag_observable(log_psi_fn, params, s: Array, log_psi: C,
              pmean(o_loc.im.mean(), axis_name))
 
 
+def renyi2_swap(log_psi_fn, params, s1: Array, s2: Array,
+                log_psi1: C, log_psi2: C, region: Array,
+                sector_mask: bool = False,
+                axis_name: Optional[str] = None) -> C:
+    """<SWAP_A> = Tr(rho_A^2) estimator via the replica swap trick.
+
+    Renyi-2 entanglement entropy S_2(A) = -ln Tr(rho_A^2), with
+    Tr(rho_A^2) = <psi x psi| SWAP_A |psi x psi> / <psi|psi>^2 estimated
+    over two INDEPENDENT walker batches s1, s2 ~ |psi|^2 (Hastings et al.,
+    PRL 104:157201 (2010)):
+
+      swap_loc(s, s') = psi(t) psi(t') / (psi(s) psi(s')),
+      t  = s  with region-A spins replaced by s'_A,
+      t' = s' with region-A spins replaced by s_A.
+
+    Marshall-rotated bases need NO correction here: any diagonal rotation
+    of product form D(s) = prod_i d_i(s_i) (the Marshall sign is one)
+    satisfies D(t)D(t') = D(s)D(s') exactly — each site keeps its pair of
+    replica values, merely exchanged — so the rotation cancels from the
+    ratio.
+
+    ``sector_mask=True`` zeroes pairs whose region-A magnetizations differ.
+    For a state that is an exact S^z-sector eigenstate those terms
+    contribute exactly 0 to Tr(rho_A^2) (rho_A is block-diagonal in m_A),
+    but an unconstrained ansatz trained only inside the sector (CNN/GCNN
+    under exchange moves) returns unphysical amplitudes for the
+    out-of-sector swapped configs — masking removes that bias exactly.
+
+    Returns the complex mean <SWAP_A> (Im -> 0 in expectation); take
+    S_2 = -ln Re on the host. pmean'd, so it shards like the energy.
+    """
+    ratio = renyi2_swap_local(log_psi_fn, params, s1, s2, log_psi1,
+                              log_psi2, region, sector_mask=sector_mask)
+    return C(pmean(ratio.re.mean(), axis_name),
+             pmean(ratio.im.mean(), axis_name))
+
+
+def renyi2_swap_local(log_psi_fn, params, s1: Array, s2: Array,
+                      log_psi1: C, log_psi2: C, region: Array,
+                      sector_mask: bool = False) -> C:
+    """Per-pair swap_loc values [M] (see renyi2_swap); no reduction —
+    used directly by exact-enumeration tests with |psi|^2 pair weights."""
+    region = jnp.asarray(region).astype(jnp.float32)  # [N] 1.0 inside A
+    t1 = s1 * (1.0 - region) + s2 * region
+    t2 = s2 * (1.0 - region) + s1 * region
+    lp_t1 = log_psi_fn(params, t1)
+    lp_t2 = log_psi_fn(params, t2)
+    ratio = cplx.cexp(C(
+        lp_t1.re + lp_t2.re - log_psi1.re - log_psi2.re,
+        lp_t1.im + lp_t2.im - log_psi1.im - log_psi2.im))
+    if sector_mask:
+        keep = ((s1 * region).sum(-1) == (s2 * region).sum(-1))
+        w = keep.astype(jnp.float32)
+        ratio = C(ratio.re * w, ratio.im * w)
+    return ratio
+
+
+def renyi2_entropy(swap_mean: float) -> float:
+    """S_2 = -ln Re<SWAP_A> (host-side; NaN if the estimate is <= 0,
+    which signals too few samples for the exponentially small overlap)."""
+    v = float(np.real(swap_mean))
+    return float(-np.log(v)) if v > 0 else float("nan")
+
+
 def dimer_correlation(s: Array, lattice: Lattice, direction: int = 0,
                       axis_name: Optional[str] = None
                       ) -> tuple[Array, Array]:

@@ -243,3 +243,129 @@ def test_structure_factor_basis_neel_state():
     sq_st[0, 0] = 0.0
     np.testing.assert_allclose(sq_st, 0.0, atol=1e-5)
     np.testing.assert_allclose(sq_u, 0.0, atol=1e-5)
+
+
+def _renyi2_exact(psi: np.ndarray, n: int, k: int) -> float:
+    """Exact Tr(rho_A^2) for region A = sites 0..k-1 (low bits of the
+    basis index, matching exact._spins' little-endian convention)."""
+    m = psi.reshape(1 << (n - k), 1 << k)   # M[b, a]
+    z = float(np.vdot(psi, psi).real)
+    a = np.conj(m).T @ m                     # M^H M
+    return float(np.linalg.norm(a, "fro") ** 2 / z**2)
+
+
+def _weighted_swap_mean(log_psi_fn, v, configs, lp, region,
+                        sector_mask=False):
+    """Sum_{s,s'} p(s) p(s') swap_loc(s, s') over the full enumeration
+    (restricted to the support of p)."""
+    from qmcnn_tpu.ops.observables import renyi2_swap_local
+    d = configs.shape[0]
+    logw = 2.0 * np.asarray(lp.re)
+    w = np.exp(logw - logw.max())
+    w /= w.sum()
+    i = np.repeat(np.arange(d), d)
+    j = np.tile(np.arange(d), d)
+    s1, s2 = configs[i], configs[j]
+    lp1 = C(lp.re[i], lp.im[i])
+    lp2 = C(lp.re[j], lp.im[j])
+    loc = renyi2_swap_local(log_psi_fn, v, s1, s2, lp1, lp2, region,
+                            sector_mask=sector_mask)
+    pw = w[i] * w[j]
+    return complex(float((pw * np.asarray(loc.re)).sum()),
+                   float((pw * np.asarray(loc.im)).sum()))
+
+
+def test_renyi2_swap_exact_enumeration():
+    """The swap estimator averaged with exact |psi|^2 pair weights over ALL
+    configuration pairs equals the dense Tr(rho_A^2) (no MC noise), for a
+    complex-parameter CNN and several bipartition sizes."""
+    n = 6
+    model = LogPsiCNN(lattice_shape=(n,), channels=(3,), complex_params=True,
+                      param_scale=0.4)
+    v = model.init(jax.random.key(7), jnp.ones((1, n), jnp.float32))
+
+    def log_psi_fn(p, s):
+        return log_psi_apply(model, p, s)
+
+    configs = jnp.asarray(exact.all_configs(n))
+    lp = log_psi_fn(v, configs)
+    lpc = np.asarray(lp.re) + 1j * np.asarray(lp.im)
+    psi = np.exp(lpc - lpc.real.max())
+    for k in [1, 2, 3]:
+        region = np.zeros(n, np.float32)
+        region[:k] = 1.0
+        want = _renyi2_exact(psi, n, k)
+        got = _weighted_swap_mean(log_psi_fn, v, configs, lp, region)
+        np.testing.assert_allclose(got.real, want, rtol=1e-4)
+        np.testing.assert_allclose(got.imag, 0.0, atol=1e-5)
+        # k = 1 sanity: S_2 of one spin is at most ln 2
+        if k == 1:
+            from qmcnn_tpu.ops.observables import renyi2_entropy
+            s2 = renyi2_entropy(got.real)
+            assert 0.0 <= s2 <= np.log(2) + 1e-6
+
+
+def test_renyi2_sector_mask_exact():
+    """For a state PROJECTED into the S^z = 0 sector, the sector-masked
+    estimator enumerated over in-sector pairs equals the dense Tr(rho_A^2)
+    of the projected state — even though the raw network carries junk
+    amplitudes outside the sector (the bias the mask removes)."""
+    n = 6
+    model = LogPsiCNN(lattice_shape=(n,), channels=(3,), complex_params=True,
+                      param_scale=0.4)
+    v = model.init(jax.random.key(9), jnp.ones((1, n), jnp.float32))
+
+    def log_psi_fn(p, s):
+        return log_psi_apply(model, p, s)
+
+    all_s = exact.all_configs(n)
+    in_sector = all_s.sum(axis=1) == 0
+    configs = jnp.asarray(all_s[in_sector])
+    lp = log_psi_fn(v, configs)
+    lpc = np.asarray(lp.re) + 1j * np.asarray(lp.im)
+    # projected full-Hilbert vector: psi on the sector, 0 elsewhere
+    psi = np.zeros(1 << n, np.complex128)
+    psi[np.flatnonzero(in_sector)] = np.exp(lpc - lpc.real.max())
+    k = 2
+    region = np.zeros(n, np.float32)
+    region[:k] = 1.0
+    want = _renyi2_exact(psi, n, k)
+    got = _weighted_swap_mean(log_psi_fn, v, configs, lp, region,
+                              sector_mask=True)
+    np.testing.assert_allclose(got.real, want, rtol=1e-4)
+
+
+def test_renyi2_marshall_rotation_cancels():
+    """A diagonal product-form rotation D(s) = prod_{i in A_sub} f(s_i)
+    (the Marshall sign) cancels exactly from the swap ratio — the
+    estimator needs no marshall flag (docstring claim, verified)."""
+    n = 6
+    lat = chain(n)
+    model = LogPsiCNN(lattice_shape=(n,), channels=(3,), param_scale=0.4)
+    v = model.init(jax.random.key(3), jnp.ones((1, n), jnp.float32))
+
+    def log_psi_fn(p, s):
+        return log_psi_apply(model, p, s)
+
+    sub = jnp.asarray(np.asarray(lat.sublattice_mask, np.float32))
+
+    def log_psi_rot(p, s):
+        base = log_psi_fn(p, s)
+        # D(s) = (-1)^{# up spins on sublattice A}: +i*pi per flipped sign
+        n_up_a = ((s > 0).astype(jnp.float32) * sub).sum(-1)
+        return C(base.re, base.im + np.pi * n_up_a)
+
+    rng = np.random.default_rng(5)
+    s1 = (2.0 * rng.integers(0, 2, (32, n)) - 1).astype(np.float32)
+    s2 = (2.0 * rng.integers(0, 2, (32, n)) - 1).astype(np.float32)
+    region = np.zeros(n, np.float32)
+    region[:3] = 1.0
+    from qmcnn_tpu.ops.observables import renyi2_swap
+    a = renyi2_swap(log_psi_fn, v, jnp.asarray(s1), jnp.asarray(s2),
+                    log_psi_fn(v, jnp.asarray(s1)),
+                    log_psi_fn(v, jnp.asarray(s2)), region)
+    b = renyi2_swap(log_psi_rot, v, jnp.asarray(s1), jnp.asarray(s2),
+                    log_psi_rot(v, jnp.asarray(s1)),
+                    log_psi_rot(v, jnp.asarray(s2)), region)
+    np.testing.assert_allclose(float(a.re), float(b.re), rtol=1e-5)
+    np.testing.assert_allclose(float(a.im), float(b.im), atol=1e-5)
