@@ -320,7 +320,7 @@ def resolve_sampler_backend(cfg: Config) -> str:
                  and not cfg.model.spin_flip_sector
                  # the fused kernel's circulant form assumes a 1-site basis
                  # on the site grid (prod(shape) == n_sites)
-                 and cfg.lattice.geometry != "honeycomb")
+                 and cfg.lattice.geometry not in ("honeycomb", "kagome"))
     if b == "auto":
         # measured on v5e: pallas wins for single-flip sweeps (+32% at
         # M=1024 flagship shapes); for exchange sweeps the gather-free XLA

@@ -25,7 +25,11 @@ class LatticeConfig:
     #: 'honeycomb' (2D; shape = CELL grid of the 2-site-basis lattice, so
     #: n_sites = 2*Lx*Ly; bipartite by basis — Marshall applies; basis
     #: spins enter the CNN as input channels; per-site tying/averaging
-    #: [gcnn, translation/point-group average, tied RBM] is refused)
+    #: [gcnn, translation/point-group average, tied RBM] is refused), or
+    #: 'kagome' (2D; 3-site basis on the triangular Bravais cell grid, so
+    #: n_sites = 3*Lx*Ly; corner-sharing triangles — never bipartite, so
+    #: marshall: false is required; same basis-channel CNN treatment and
+    #: per-site tying/averaging refusals as honeycomb)
     geometry: str = "hypercubic"
 
 

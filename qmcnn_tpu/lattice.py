@@ -35,10 +35,13 @@ class Lattice:
     shape: Tuple[int, ...]
     pbc: bool = True
     #: 'hypercubic' (chain / square; reference geometry), 'triangular'
-    #: (2D only; 6 NN per site via the (1,0),(0,1),(1,-1) grid offsets), or
+    #: (2D only; 6 NN per site via the (1,0),(0,1),(1,-1) grid offsets),
     #: 'honeycomb' (2D; ``shape`` is the CELL grid of the 2-site-basis
     #: Bravais lattice, so n_sites = 2 * Lx * Ly; 3 NN per site, bipartite
-    #: by basis index for ANY cell-grid size — the Marshall rule applies)
+    #: by basis index for ANY cell-grid size — the Marshall rule applies),
+    #: or 'kagome' (2D; 3-site basis on the triangular Bravais lattice —
+    #: basis A at 0, B at a1/2, C at a2/2; corner-sharing triangles, 4 NN
+    #: per site, NEVER bipartite: the maximally frustrated 2D geometry)
     geometry: str = "hypercubic"
 
     def __post_init__(self):
@@ -46,9 +49,10 @@ class Lattice:
             raise ValueError(f"only 1D/2D lattices supported, got {self.shape}")
         if any(L < 2 for L in self.shape):
             raise ValueError(f"each dimension must be >= 2, got {self.shape}")
-        if self.geometry not in ("hypercubic", "triangular", "honeycomb"):
+        if self.geometry not in ("hypercubic", "triangular", "honeycomb",
+                                 "kagome"):
             raise ValueError(f"unknown geometry {self.geometry!r}")
-        if self.geometry in ("triangular", "honeycomb") \
+        if self.geometry in ("triangular", "honeycomb", "kagome") \
                 and len(self.shape) != 2:
             raise ValueError(f"{self.geometry} geometry needs a 2D shape")
 
@@ -58,10 +62,10 @@ class Lattice:
 
     @property
     def basis(self) -> int:
-        """Sites per unit cell (2 for honeycomb, 1 otherwise). Models
+        """Sites per unit cell (2 honeycomb, 3 kagome, 1 otherwise). Models
         consume ``shape`` as the conv grid and ``basis`` as input channels,
         so weight tying follows the true (cell) translation group."""
-        return 2 if self.geometry == "honeycomb" else 1
+        return {"honeycomb": 2, "kagome": 3}.get(self.geometry, 1)
 
     @property
     def n_sites(self) -> int:
@@ -103,8 +107,14 @@ class Lattice:
         (degree 3, always A-B). Each bond appears exactly once.
         """
         if self.geometry == "honeycomb":
-            return self._honeycomb_bonds(
-                [(0, 0), (-1, 0), (0, -1)], intra=False)
+            return self._basis_bonds(
+                [(0, 1, (0, 0)), (0, 1, (-1, 0)), (0, 1, (0, -1))])
+        if self.geometry == "kagome":
+            # up-triangle (in-cell) + down-triangle (cross-cell) edges;
+            # every site has degree 4 and every edge length a/2
+            return self._basis_bonds(
+                [(0, 1, (0, 0)), (0, 2, (0, 0)), (1, 2, (0, 0)),
+                 (1, 0, (1, 0)), (2, 0, (0, 1)), (1, 2, (1, -1))])
         return self._bonds_for_offsets(self._nn_offsets())
 
     @cached_property
@@ -117,8 +127,15 @@ class Lattice:
         model's J2 couplings.
         """
         if self.geometry == "honeycomb":
-            return self._honeycomb_bonds(
-                [(1, 0), (0, 1), (1, -1)], intra=True)
+            return self._basis_bonds(
+                [(b, b, off) for b in range(2)
+                 for off in ((1, 0), (0, 1), (1, -1))])
+        if self.geometry == "kagome":
+            # the sqrt(3)/2 shell: 4 second neighbors per site, 6 per cell
+            return self._basis_bonds(
+                [(0, 1, (0, -1)), (0, 1, (-1, 1)),
+                 (0, 2, (-1, 0)), (0, 2, (1, -1)),
+                 (1, 2, (1, 0)), (1, 2, (0, -1))])
         return self._bonds_for_offsets(self._nnn_offsets())
 
     def _nn_offsets(self):
@@ -163,36 +180,32 @@ class Lattice:
                 bonds.append((i, j))
         return np.asarray(bonds, dtype=np.int32).reshape(-1, 2)
 
-    def _honeycomb_bonds(self, cell_offsets, intra: bool) -> np.ndarray:
-        """Bond list for the 2-site-basis honeycomb.
+    def _basis_bonds(self, triples) -> np.ndarray:
+        """Bond list for a multi-site-basis lattice.
 
-        ``intra=False``: A(x,y)-B(cell+off) inter-sublattice bonds (NN).
-        ``intra=True``: same-basis bonds at the given cell offsets, for both
-        sublattices (NNN shell = the triangular cell lattice's NN shell).
+        ``triples`` is a list of (basis_a, basis_b, cell_offset): site
+        (x, y, basis_a) bonds to ((x, y) + cell_offset, basis_b) in every
+        cell. Same one-bond-per-pair dedup semantics as
+        _bonds_for_offsets (L=2 wrap images collapse to one bond).
         """
         bonds = []
         seen = set()
         lx, ly = self.shape
         for x in range(lx):
             for y in range(ly):
-                for off in cell_offsets:
+                for ba, bb, off in triples:
                     cx, cy = x + off[0], y + off[1]
                     if not self.pbc and not (0 <= cx < lx and 0 <= cy < ly):
                         continue
-                    if intra:
-                        pairs = [((x, y, b), (cx, cy, b))
-                                 for b in range(self.basis)]
-                    else:
-                        pairs = [((x, y, 0), (cx, cy, 1))]
-                    for ca, cb in pairs:
-                        i, j = self.site_index(ca), self.site_index(cb)
-                        if i == j:
-                            continue  # wrap self-bond on L=2 intra shells
-                        pair = (min(i, j), max(i, j))
-                        if pair in seen:
-                            continue
-                        seen.add(pair)
-                        bonds.append(pair)
+                    i = self.site_index((x, y, ba))
+                    j = self.site_index((cx, cy, bb))
+                    if i == j:
+                        continue  # wrap self-bond on L=2 intra shells
+                    pair = (min(i, j), max(i, j))
+                    if pair in seen:
+                        continue
+                    seen.add(pair)
+                    bonds.append(pair)
         return np.asarray(bonds, dtype=np.int32).reshape(-1, 2)
 
     @cached_property
@@ -201,24 +214,25 @@ class Lattice:
 
         Hypercubic: checkerboard (coordinate-sum parity); meaningful when
         all dims are even (true for all reference configs: 16, 40, 8x8,
-        10x10). Honeycomb: the basis index — every NN bond is A-B by
-        construction, for any cell-grid size. Used by the Marshall sign
-        rule (SURVEY.md R4a).
+        10x10). Multi-site basis: the basis index — a valid 2-coloring
+        only when the lattice is bipartite BY basis (honeycomb; kagome's
+        triangles admit no 2-coloring and is_bipartite_compatible guards
+        every use). Used by the Marshall sign rule (SURVEY.md R4a).
         """
-        if self.geometry == "honeycomb":
-            return self.coords[:, -1].astype(np.int32)
+        if self.basis > 1:
+            return (self.coords[:, -1] % 2).astype(np.int32)
         return (self.coords.sum(axis=1) % 2).astype(np.int32)
 
     @cached_property
     def is_bipartite_compatible(self) -> bool:
         """True if the NN graph is two-colorable by sublattice_mask.
 
-        Triangular lattices contain odd cycles (triangles) and are never
-        bipartite; honeycomb is bipartite by basis for any size; hypercubic
-        lattices additionally need even dims under PBC so the wrap
-        preserves the coloring.
+        Triangular and kagome lattices contain odd cycles (triangles) and
+        are never bipartite; honeycomb is bipartite by basis for any size;
+        hypercubic lattices additionally need even dims under PBC so the
+        wrap preserves the coloring.
         """
-        if self.geometry == "triangular":
+        if self.geometry in ("triangular", "kagome"):
             return False
         if self.geometry == "honeycomb":
             return True
@@ -242,3 +256,9 @@ def honeycomb(lx: int, ly: int | None = None, pbc: bool = True) -> Lattice:
     """Honeycomb with an (lx, ly) CELL grid: n_sites = 2 * lx * ly."""
     return Lattice((lx, ly if ly is not None else lx), pbc=pbc,
                    geometry="honeycomb")
+
+
+def kagome(lx: int, ly: int | None = None, pbc: bool = True) -> Lattice:
+    """Kagome with an (lx, ly) CELL grid: n_sites = 3 * lx * ly."""
+    return Lattice((lx, ly if ly is not None else lx), pbc=pbc,
+                   geometry="kagome")
