@@ -210,7 +210,7 @@ def build_optimizer(cfg: Config) -> optax.GradientTransformation:
         base = optax.adam(lr)
     else:
         raise ValueError(f"unknown optimizer kind {o.kind!r}")
-    if o.clip_norm is not None:
+    if o.clip_norm:  # null OR 0 disable clipping (0 would freeze training)
         return optax.chain(optax.clip_by_global_norm(o.clip_norm), base)
     return base
 

@@ -127,7 +127,7 @@ class SamplerConfig:
 class OptimizerConfig:
     kind: str = "sgd"  # sgd | adam
     lr: float = 0.02
-    clip_norm: Optional[float] = 1.0
+    clip_norm: Optional[float] = 1.0  # global-norm clip; null/0 = off
     momentum: Optional[float] = None
     #: learning-rate schedule: constant | cosine | warmup_cosine | linear
     schedule: str = "constant"
@@ -227,6 +227,17 @@ class RunConfig:
     coordinator_address: Optional[str] = None  # "host:port"
     num_processes: Optional[int] = None
     process_id: Optional[int] = None
+    #: what to do when a dispatch returns a non-finite energy (a diverged
+    #: optimizer NaNs every later step — observed: the r1 depth-8 run
+    #: burned 2350 steps after a step-650 NaN):
+    #:   'rollback' (default) — restore the last checkpoint, re-derive the
+    #:     MC stream with a retry-folded key (a deterministic replay would
+    #:     NaN identically), and continue; after nan_max_retries failed
+    #:     rollbacks, or with no checkpoint to restore, raise.
+    #:   'halt' — raise immediately (the supervisor counts it as a crash).
+    #:   'ignore' — pre-round-2 behavior: keep training through NaN.
+    nan_policy: str = "rollback"
+    nan_max_retries: int = 3
 
 
 @dataclass(frozen=True)

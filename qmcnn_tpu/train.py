@@ -98,7 +98,11 @@ def train(cfg, ckpt_manager=None, logger=None):
 
     e_exact = exact_reference_energy(cfg)
     sweeps_per_step = cfg.sampler.n_sweeps_per_step
-    base_key = jax.random.fold_in(key, 2)  # per-step keys derived on device
+    if cfg.run.nan_policy not in ("rollback", "halt", "ignore"):
+        raise ValueError(f"unknown run.nan_policy {cfg.run.nan_policy!r}")
+    nan_retries = 0
+    base_key0 = jax.random.fold_in(key, 2)
+    base_key = base_key0  # per-step keys derived on device from state.step
 
     run_steps = sharded.run_steps
     if cfg.run.checkify:
@@ -170,6 +174,37 @@ def train(cfg, ckpt_manager=None, logger=None):
         dt = (time.perf_counter() - t0) / chunk
         _heartbeat(hb_path, it + chunk)
         e_re = np.asarray(metrics.energy_re)
+        if cfg.run.nan_policy != "ignore" and not np.isfinite(e_re).all():
+            bad_step = it + int(np.flatnonzero(~np.isfinite(e_re))[0]) + 1
+            # decided identically on every process (metrics are
+            # pmean-replicated), so the rollback restore is collective-safe
+            can_roll = (cfg.run.nan_policy == "rollback"
+                        and ckpt_manager is not None
+                        and ckpt_manager.latest_step() is not None
+                        and nan_retries < cfg.run.nan_max_retries)
+            if not can_roll:
+                raise RuntimeError(
+                    f"non-finite energy at step {bad_step} "
+                    f"(run.nan_policy={cfg.run.nan_policy}"
+                    + (f", retries exhausted {nan_retries}"
+                       if nan_retries else "")
+                    + (", no checkpoint to roll back to"
+                       if ckpt_manager is None
+                       or ckpt_manager.latest_step() is None else "")
+                    + ") — a diverged state NaNs every later step; lower "
+                    "optimizer.lr or raise sr.diag_shift0")
+            nan_retries += 1
+            state = ckpt_manager.restore(state)
+            it = int(state.step)
+            # a deterministic replay from the checkpoint would NaN at the
+            # same step — re-fold the MC stream so the retry explores a
+            # different sample path (documented stream change)
+            base_key = jax.random.fold_in(base_key0, nan_retries)
+            print(f"non-finite energy at step {bad_step}: rolled back to "
+                  f"checkpoint step {it} with a re-folded MC key "
+                  f"(retry {nan_retries}/{cfg.run.nan_max_retries})",
+                  flush=True)
+            continue
         e_im = np.asarray(metrics.energy_im)
         e_var = np.asarray(metrics.energy_var)
         acc = np.asarray(metrics.accept_rate)
