@@ -354,6 +354,10 @@ def build(cfg: Config, axis_name: Optional[str] = None
         from qmcnn_tpu.models.arnn import conditional_fn
         from qmcnn_tpu.sampler.direct import DirectSampler
 
+        if cfg.sampler.tempering_betas is not None:
+            raise ValueError("tempering_betas is a Metropolis mixing aid — "
+                             "exact ancestral sampling draws i.i.d. "
+                             "samples and needs no tempering")
         sampler = DirectSampler(
             log_psi_fn,
             conditional_fn(model),
@@ -362,15 +366,22 @@ def build(cfg: Config, axis_name: Optional[str] = None
         )
     else:
         move = resolve_move(cfg)
+        betas = cfg.sampler.tempering_betas
+        backend = resolve_sampler_backend(cfg)
+        if betas is not None and backend == "pallas":
+            if cfg.sampler.backend == "pallas":
+                raise ValueError("tempering_betas runs on the xla backend")
+            backend = "xla"  # auto-selected pallas defers to tempering
         sampler = MetropolisSampler(
             log_psi_fn,
             n_sites=lattice.n_sites,
             move=move,
             bonds=lattice.nn_bonds if move.startswith("exchange") else None,
             sweep_size=cfg.sampler.sweep_size,
-            backend=resolve_sampler_backend(cfg),
+            backend=backend,
             lattice_shape=tuple(lattice.shape),
             pallas_block=cfg.sampler.pallas_block,
+            betas=tuple(betas) if betas is not None else None,
         )
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(params))

@@ -121,6 +121,13 @@ class SamplerConfig:
     #: circulant-form CNNs only — auto falls back to xla otherwise)
     backend: str = "auto"
     pallas_block: int = 1024
+    #: parallel tempering: strictly decreasing exponent ladder starting at
+    #: 1.0 (e.g. [1.0, 0.7, 0.45, 0.25]); replica r samples |psi|^{2 b_r}
+    #: and adjacent replicas swap configurations once per sweep. Mixing
+    #: aid for rugged frustrated landscapes (kagome/triangular/J1-J2);
+    #: costs len(betas) x sampling FLOPs, estimators see only the
+    #: physical b=1 chain. Null = off. Metropolis xla backend only.
+    tempering_betas: Optional[Tuple[float, ...]] = None
 
 
 @dataclass(frozen=True)

@@ -52,6 +52,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             renyi2_region: str | None = None):
     sharded, params, lattice = build_sharded(cfg)
     vmc = sharded.vmc
+    # with parallel tempering only the beta=1 replica is |psi|^2-distributed
+    phys = vmc.sampler.physical
     key = jax.random.key(cfg.run.seed + 12345)
     state = sharded.init_state(jax.random.fold_in(key, 0),
                                cfg.sampler.n_walkers, params)
@@ -108,7 +110,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         @jax.jit
         def renyi2_once(state):
             # pair even/odd walkers: independent chains by construction
-            s, lp = state.walkers.s, state.walkers.log_psi
+            w = phys(state.walkers)
+            s, lp = w.s, w.log_psi
             from qmcnn_tpu.ops.cplx import C as _C
             s1, s2 = s[0::2], s[1::2]
             lp1 = _C(lp.re[0::2], lp.im[0::2])
@@ -121,7 +124,7 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
 
     @jax.jit
     def measure_once(state):
-        walkers = state.walkers
+        walkers = phys(state.walkers)
         e = local_energy(vmc.log_psi_fn, state.params, vmc.ham, walkers.s,
                          walkers.log_psi)
         if on_grid:
@@ -158,8 +161,9 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
 
         @jax.jit
         def lanczos_once(state):
+            w = phys(state.walkers)
             return h_moment_samples(vmc.log_psi_fn, state.params, vmc.ham,
-                                    state.walkers.s, state.walkers.log_psi,
+                                    w.s, w.log_psi,
                                     chunk_size=chunk)
 
     for i in range(n_samples):
@@ -187,7 +191,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         # state) actually lives in. Costs N(N-1)/2 forwards per walker,
         # so it is opt-in and measured once on the final walker set.
         s2_out = jax.jit(lambda st: observables.total_spin_sq(
-            vmc.log_psi_fn, st.params, st.walkers.s, st.walkers.log_psi,
+            vmc.log_psi_fn, st.params, phys(st.walkers).s,
+            phys(st.walkers).log_psi,
             lattice,
             marshall=(cfg.hamiltonian.kind in ("heisenberg", "j1j2")
                       and cfg.hamiltonian.marshall)))(state)
@@ -210,7 +215,7 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
                                     n_sweeps=max(therm_sweeps, 50))
         fid = float(jax.jit(mc_fidelity, static_argnums=(0, 2))(
             vmc.log_psi_fn, state.params, vmc.log_psi_fn, params2,
-            state.walkers.s, state2.walkers.s))
+            phys(state.walkers).s, phys(state2.walkers).s))
 
     corr = corr_acc / n_samples
     report = {

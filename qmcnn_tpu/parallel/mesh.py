@@ -157,12 +157,17 @@ def make_sharded_vmc(vmc: VMC, mesh: Mesh, state_template: TrainState
     specs = _state_specs(state_template)
     metric_specs = StepMetrics(*([P()] * len(StepMetrics._fields)))
 
+    # walker_ids are PHYSICAL walker ids: with parallel tempering the
+    # walker arrays hold n_replicas rows per walker (replica-fastest), and
+    # the sampler derives per-row streams from id * R + r itself
+    n_rep = getattr(vmc.sampler, "n_replicas", 1)
+
     def local_ids(m_local: int):
         dev = jax.lax.axis_index(AXIS)
         return dev * m_local + jnp.arange(m_local)
 
     def step_local(state: TrainState, key):
-        m_local = state.walkers.s.shape[0]
+        m_local = state.walkers.s.shape[0] // n_rep
         return vmc.step(state, key, local_ids(m_local))
 
     key_spec = P()  # replicated scalar PRNG key
@@ -178,7 +183,7 @@ def make_sharded_vmc(vmc: VMC, mesh: Mesh, state_template: TrainState
     @functools.lru_cache(maxsize=None)
     def make_therm(n_sweeps: int):
         def therm_local(state: TrainState, key):
-            m_local = state.walkers.s.shape[0]
+            m_local = state.walkers.s.shape[0] // n_rep
             return vmc.thermalize(state, key, local_ids(m_local), n_sweeps)
 
         return jax.jit(shard_map(
@@ -191,8 +196,9 @@ def make_sharded_vmc(vmc: VMC, mesh: Mesh, state_template: TrainState
     @functools.lru_cache(maxsize=None)
     def make_run(n_steps: int):
         def run_local(state: TrainState, base_key):
-            m_local = state.walkers.s.shape[0]
-            return vmc.run_steps(state, base_key, local_ids(m_local), n_steps)
+            m_local = state.walkers.s.shape[0] // n_rep
+            return vmc.run_steps(state, base_key, local_ids(m_local),
+                                 n_steps)
 
         stacked_metric_specs = StepMetrics(
             *([P()] * len(StepMetrics._fields)))

@@ -59,6 +59,11 @@ class DirectSampler:
         zero = jnp.zeros(n_walkers, jnp.int32)
         return WalkerState(s=s, log_psi=lp, n_accept=zero, n_prop=zero)
 
+    def physical(self, state: WalkerState) -> WalkerState:
+        """Interface parity with MetropolisSampler: exact sampling has no
+        tempering replicas, every walker is physical."""
+        return state
+
     def refresh(self, params, state: WalkerState) -> WalkerState:
         """No-op: sample() regenerates all walkers from scratch anyway."""
         return state

@@ -178,6 +178,15 @@ class MetropolisSampler:
     backend: str = "xla"
     lattice_shape: Optional[tuple] = None  # required for backend='pallas'
     pallas_block: int = 1024
+    #: parallel tempering (replica exchange): a strictly decreasing ladder
+    #: (1.0, b_1, ..., b_{R-1}] of exponents — replica r samples
+    #: |psi|^{2 b_r}, so hot (small-b) replicas cross barriers a rugged
+    #: frustrated |psi|^2 landscape puts in the physical chain's way.
+    #: After every sweep, adjacent replicas swap CONFIGURATIONS with the
+    #: standard replica-exchange acceptance (log psi values travel with
+    #: the configs — no extra forwards). Only the b=1 replica (rows [::R],
+    #: see ``physical``) feeds the estimators. None = plain Metropolis.
+    betas: Optional[tuple] = None
 
     def __post_init__(self):
         if self.move not in ("flip", "exchange", "exchange_anti"):
@@ -191,28 +200,65 @@ class MetropolisSampler:
                 raise ValueError("backend='pallas' requires lattice_shape")
             if self.move == "exchange_anti":
                 raise ValueError("backend='pallas' supports flip/exchange")
+            if self.betas is not None:
+                raise ValueError("tempering runs on the xla backend")
+        if self.betas is not None:
+            b = tuple(float(x) for x in self.betas)
+            if len(b) < 2:
+                raise ValueError("tempering needs >= 2 replicas "
+                                 "(betas=None for plain Metropolis)")
+            if b[0] != 1.0:
+                raise ValueError(f"betas[0] must be 1.0 (the physical "
+                                 f"chain), got {b[0]}")
+            if any(x <= 0.0 or x > 1.0 for x in b):
+                raise ValueError(f"betas must lie in (0, 1], got {b}")
+            if any(b[i + 1] >= b[i] for i in range(len(b) - 1)):
+                raise ValueError(f"betas must be strictly decreasing: {b}")
+
+    @property
+    def n_replicas(self) -> int:
+        return len(self.betas) if self.betas is not None else 1
 
     @property
     def _sweep_size(self) -> int:
         return self.sweep_size or self.n_sites
 
+    def _row_betas(self, n_rows: int) -> Array:
+        """[n_rows] per-row exponent, replica-fastest layout."""
+        return jnp.tile(jnp.asarray(self.betas, jnp.float32),
+                        n_rows // self.n_replicas)
+
     def init_state(self, params, key: Array, n_walkers: int) -> WalkerState:
+        """``n_walkers`` counts PHYSICAL walkers; with tempering the state
+        holds n_walkers * n_replicas rows (replica-fastest: row i*R + r is
+        walker i's replica r, so walker sharding keeps each walker's full
+        ladder on one device)."""
         sector = "sz0" if self.move.startswith("exchange") else None
-        s = init_walkers(key, n_walkers, self.n_sites, sector=sector)
+        rows = n_walkers * self.n_replicas
+        s = init_walkers(key, rows, self.n_sites, sector=sector)
         return self.refresh(params, WalkerState(
             s=s,
-            log_psi=C(jnp.zeros(n_walkers), jnp.zeros(n_walkers)),
-            n_accept=jnp.zeros(n_walkers, jnp.int32),
-            n_prop=jnp.zeros(n_walkers, jnp.int32),
+            log_psi=C(jnp.zeros(rows), jnp.zeros(rows)),
+            n_accept=jnp.zeros(rows, jnp.int32),
+            n_prop=jnp.zeros(rows, jnp.int32),
         ))
+
+    def physical(self, state: WalkerState) -> WalkerState:
+        """The beta = 1 chain (rows [::R]) — what estimators consume.
+        Identity when tempering is off."""
+        if self.betas is None:
+            return state
+        r = self.n_replicas
+        return jax.tree_util.tree_map(lambda x: x[::r], state)
 
     def refresh(self, params, state: WalkerState) -> WalkerState:
         """Recompute stored log psi (call after every parameter update)."""
         return state._replace(log_psi=self.log_psi_fn(params, state.s))
 
-    def _proposal_step(self, params, state: WalkerState, keys: Array
-                       ) -> WalkerState:
-        """One Metropolis proposal for every walker. keys: [M] key array."""
+    def _proposal_step(self, params, state: WalkerState, keys: Array,
+                       beta_rows: Optional[Array] = None) -> WalkerState:
+        """One Metropolis proposal for every walker. keys: [M] key array.
+        beta_rows: per-row tempering exponent (None = 1 everywhere)."""
         k_move, k_accept = jax.vmap(
             lambda k: tuple(jax.random.split(k, 2))
         )(keys)
@@ -225,8 +271,11 @@ class MetropolisSampler:
             s_new, log_corr = _propose_exchange_anti(
                 state.s, k_move, self.bonds)
         log_psi_new = self.log_psi_fn(params, s_new)
-        # accept with prob min(1, q(s'->s)/q(s->s') |psi'/psi|^2)
-        log_ratio = 2.0 * (log_psi_new.re - state.log_psi.re) + log_corr
+        # accept with prob min(1, q(s'->s)/q(s->s') |psi'/psi|^{2 beta})
+        # (the Hastings counting correction is beta-independent)
+        beta = 1.0 if beta_rows is None else beta_rows
+        log_ratio = beta * 2.0 * (log_psi_new.re - state.log_psi.re) \
+            + log_corr
         u = jax.vmap(lambda k: jax.random.uniform(k))(k_accept)
         accept = jnp.log(u) < log_ratio  # [M] bool
         s = jnp.where(accept[:, None], s_new, state.s)
@@ -260,6 +309,9 @@ class MetropolisSampler:
         if self.backend == "pallas":
             return self._sample_pallas(params, state, step_key, walker_ids,
                                        n_props)
+        if self.betas is not None:
+            return self._sample_tempered(params, state, step_key, walker_ids,
+                                         n_sweeps)
 
         def step(carry, t):
             st = carry
@@ -269,6 +321,78 @@ class MetropolisSampler:
 
         state, _ = jax.lax.scan(step, state, jnp.arange(n_props))
         return state
+
+    def _sample_tempered(self, params, state: WalkerState, step_key: Array,
+                         walker_ids: Array, n_sweeps: int) -> WalkerState:
+        """Replica-exchange sampling: per-replica Metropolis sweeps with
+        |psi|^{2 b_r} acceptance, then one adjacent-pair swap pass per
+        sweep. ``walker_ids`` are the [M] PHYSICAL global ids; row r of
+        walker i draws from stream id i * R + r, so sharded runs stay
+        walker-for-walker identical to single-device runs."""
+        r = self.n_replicas
+        ss = self._sweep_size
+        row_ids = (walker_ids[:, None] * r
+                   + jnp.arange(r, dtype=walker_ids.dtype)[None, :]
+                   ).reshape(-1)
+        beta_rows = self._row_betas(row_ids.shape[0])
+        prop_key, swap_key = jax.random.split(step_key)
+
+        def sweep_body(st, u):
+            def prop_body(st2, i):
+                k_t = jax.random.fold_in(prop_key, u * ss + i)
+                keys = jax.vmap(
+                    lambda w: jax.random.fold_in(k_t, w))(row_ids)
+                return self._proposal_step(params, st2, keys,
+                                           beta_rows=beta_rows), ()
+
+            st, _ = jax.lax.scan(prop_body, st, jnp.arange(ss))
+            return self._swap_step(
+                st, jax.random.fold_in(swap_key, u), walker_ids), ()
+
+        state, _ = jax.lax.scan(sweep_body, state, jnp.arange(n_sweeps))
+        return state
+
+    def _swap_step(self, state: WalkerState, key: Array,
+                   walker_ids: Array) -> WalkerState:
+        """One replica-exchange pass: adjacent pairs (r, r+1) in order.
+
+        Chains p_r ~ |psi|^{2 b_r}: swapping the configurations of
+        replicas r and r+1 is accepted with
+          A = min(1, exp(2 (b_r - b_{r+1}) (log|psi(s_{r+1})| -
+                                            log|psi(s_r)|)))
+        — the standard replica-exchange rule. Configs AND their stored
+        log-amplitudes travel together (log psi does not depend on b), so
+        the pass costs zero network forwards. Acceptance counters are
+        per-row Metropolis statistics and are not touched by swaps.
+        """
+        r = self.n_replicas
+        m = state.s.shape[0] // r
+        betas = np.asarray(self.betas, np.float32)
+        s = state.s.reshape(m, r, -1)
+        lp_re = state.log_psi.re.reshape(m, r)
+        lp_im = state.log_psi.im.reshape(m, r)
+        for j in range(r - 1):
+            k_j = jax.random.fold_in(key, j)
+            u = jax.vmap(lambda w: jax.random.uniform(
+                jax.random.fold_in(k_j, w)))(walker_ids)      # [M]
+            log_a = 2.0 * (betas[j] - betas[j + 1]) * (
+                lp_re[:, j + 1] - lp_re[:, j])
+            acc = (jnp.log(u) < log_a)[:, None]               # [M, 1]
+            sj, sj1 = s[:, j], s[:, j + 1]
+            s = s.at[:, j].set(jnp.where(acc, sj1, sj))
+            s = s.at[:, j + 1].set(jnp.where(acc, sj, sj1))
+            accs = acc[:, 0]
+            for arr_name, arr in (("re", lp_re), ("im", lp_im)):
+                aj, aj1 = arr[:, j], arr[:, j + 1]
+                arr = arr.at[:, j].set(jnp.where(accs, aj1, aj))
+                arr = arr.at[:, j + 1].set(jnp.where(accs, aj, aj1))
+                if arr_name == "re":
+                    lp_re = arr
+                else:
+                    lp_im = arr
+        return state._replace(
+            s=s.reshape(m * r, -1),
+            log_psi=C(lp_re.reshape(-1), lp_im.reshape(-1)))
 
     def _sample_pallas(self, params, state: WalkerState, step_key: Array,
                        walker_ids: Array, n_props: int) -> WalkerState:

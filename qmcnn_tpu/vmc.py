@@ -139,8 +139,11 @@ class VMC:
         walkers = self.sampler.refresh(params, walkers)
         walkers = self.sampler.sample(params, walkers, key, walker_ids,
                                       n_sweeps=self.n_sweeps)
+        # with parallel tempering only the beta=1 replica is distributed as
+        # |psi|^2 — every estimator below sees the physical chain only
+        phys = self.sampler.physical(walkers)
         e_mean, e_var, grads, e_loc = energy_and_grad(
-            self.log_psi_fn, self.ham, params, walkers,
+            self.log_psi_fn, self.ham, params, phys,
             axis_name=self.axis_name, chunk_size=self.chunk_size,
         )
         overlap = jnp.zeros(())
@@ -148,7 +151,7 @@ class VMC:
             from qmcnn_tpu.ops.penalty import penalty_value_and_grad
 
             overlap, pen_grads = penalty_value_and_grad(
-                self.log_psi_fn, params, walkers.s, self.penalty_states,
+                self.log_psi_fn, params, phys.s, self.penalty_states,
                 self.penalty_beta, axis_name=self.axis_name)
             grads = jax.tree_util.tree_map(jnp.add, grads, pen_grads)
         sr_iters = jnp.zeros((), jnp.int32)
@@ -157,12 +160,12 @@ class VMC:
         if self.sr is not None:
             if sr_aux is not None:
                 grads, sr_iters, sr_residual, sr_aux = self.sr.solve_spring(
-                    self.log_psi_fn, params, walkers.s, grads, state.step,
+                    self.log_psi_fn, params, phys.s, grads, state.step,
                     sr_aux, axis_name=self.axis_name, e_loc=e_loc,
                 )
             else:
                 grads, sr_iters, sr_residual = self.sr.solve(
-                    self.log_psi_fn, params, walkers.s, grads, state.step,
+                    self.log_psi_fn, params, phys.s, grads, state.step,
                     axis_name=self.axis_name, e_loc=e_loc,
                 )
         updates, opt_state = self.optimizer.update(grads, state.opt_state,

@@ -292,3 +292,45 @@ def test_sharded_arnn_direct_sampler_matches_single_device(eight_devices):
                                    rtol=2e-5, atol=1e-5)
         np.testing.assert_allclose(flat(state1.params), flat(state8.params),
                                    rtol=5e-4, atol=5e-6)
+
+
+def test_sharded_tempered_step_matches_single_device(eight_devices):
+    """Parallel tempering under shard_map: replica rows stay with their
+    walker's device (replica-fastest layout) and per-row streams key off
+    global physical ids — 8-device == 1-device, swaps included."""
+    lat = chain(N)
+    ham = Heisenberg(lat)
+    model = LogPsiCNN(lattice_shape=(N,), channels=(4,), param_scale=0.1)
+
+    def log_psi_fn(p, s):
+        return log_psi_apply(model, p, s)
+
+    params = model.init(jax.random.key(0), jnp.ones((1, N), jnp.float32))
+
+    def mk(axis_name):
+        sampler = MetropolisSampler(
+            log_psi_fn, n_sites=N, move="exchange_anti", bonds=lat.nn_bonds,
+            betas=(1.0, 0.6, 0.3))
+        return VMC(log_psi_fn=log_psi_fn, ham=ham, sampler=sampler,
+                   optimizer=optax.sgd(0.02), n_sweeps=1,
+                   axis_name=axis_name)
+
+    mesh = walker_mesh(8)
+    vmc1, vmc8 = mk(None), mk("dp")
+    state1 = vmc1.init_state(jax.random.key(1), M, params)
+    sharded = make_sharded_vmc(vmc8, mesh, state1)
+    state8 = sharded.init_state(jax.random.key(1), M, params)
+    assert state1.walkers.s.shape[0] == 3 * M
+
+    step1 = jax.jit(vmc1.step)
+    ids = jnp.arange(M)
+    for it in range(3):
+        key = jax.random.fold_in(jax.random.key(2), it)
+        state1, m1 = step1(state1, key, ids)
+        state8, m8 = sharded.step(state8, key)
+        np.testing.assert_array_equal(np.asarray(state1.walkers.s),
+                                      np.asarray(state8.walkers.s))
+        np.testing.assert_allclose(float(m1.energy_re), float(m8.energy_re),
+                                   rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(flat(state1.params), flat(state8.params),
+                                   rtol=2e-4, atol=2e-6)
