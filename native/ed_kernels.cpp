@@ -65,6 +65,84 @@ void heisenberg_matvec(int n_sites, const int32_t* bonds,
   }
 }
 
+// ---- S^z-sector-restricted Heisenberg/J1-J2 (combinadic basis) ----
+//
+// S^z-conserving Hamiltonians are block diagonal in n_up = popcount(b);
+// the ground state of the AFM Heisenberg/J1-J2 family lives in the
+// n_up = N/2 block, whose dimension C(N, N/2) is ~sqrt(N) * 2^N / 2^N
+// smaller than the full Hilbert space (N=28: 40M vs 268M states) — both
+// the memory AND the per-matvec work shrink by that factor. States are
+// enumerated in increasing numeric order (Gosper's hack); the column
+// index of a flipped state is recovered with the standard combinadic
+// rank  rank(b) = sum_j C(p_j, j)  over the ascending set-bit positions
+// p_1 < ... < p_k.
+
+static uint64_t g_binom[64][64];
+static bool init_binom_table() {
+  for (int n = 0; n < 64; ++n) {
+    g_binom[n][0] = 1;
+    for (int k = 1; k <= n; ++k) {
+      g_binom[n][k] =
+          g_binom[n - 1][k - 1] + (k <= n - 1 ? g_binom[n - 1][k] : 0);
+    }
+    for (int k = n + 1; k < 64; ++k) g_binom[n][k] = 0;
+  }
+  return true;
+}
+static bool g_binom_ready = init_binom_table();
+
+static inline int64_t sector_rank(uint64_t b) {
+  int64_t r = 0;
+  int j = 0;
+  while (b) {
+    const int p = __builtin_ctzll(b);
+    ++j;
+    r += int64_t(g_binom[p][j]);
+    b &= b - 1;
+  }
+  return r;
+}
+
+// Enumerate the n_up-bit states of n_sites bits in ascending order.
+void fill_sector_states(int n_sites, int n_up, uint64_t* states,
+                        int64_t dim) {
+  (void)n_sites;
+  uint64_t v = (n_up == 0) ? 0 : ((uint64_t(1) << n_up) - 1);
+  for (int64_t i = 0; i < dim; ++i) {
+    states[i] = v;
+    if (i + 1 == dim) break;  // don't step past the top state (and v=0
+                              // for n_up=0 would divide by zero below)
+    // Gosper's hack: next larger integer with the same popcount
+    const uint64_t c = v & -v;
+    const uint64_t r = v + c;
+    v = (((r ^ v) >> 2) / c) | r;
+  }
+}
+
+// Same Hamiltonian as heisenberg_matvec, restricted to the sector basis.
+void heisenberg_sector_matvec(const int32_t* bonds, const double* couplings,
+                              int n_bonds, const uint64_t* states,
+                              int64_t dim, const double* v, double* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t idx = 0; idx < dim; ++idx) {
+    const uint64_t b = states[idx];
+    double acc = 0.0;
+    double diag = 0.0;
+    for (int k = 0; k < n_bonds; ++k) {
+      const int i = bonds[2 * k], jj = bonds[2 * k + 1];
+      const int bi = (b >> i) & 1, bj = (b >> jj) & 1;
+      if (bi == bj) {
+        diag += 0.25 * couplings[k];
+      } else {
+        diag -= 0.25 * couplings[k];
+        const uint64_t flip = (uint64_t(1) << i) | (uint64_t(1) << jj);
+        acc += 0.5 * couplings[k] * v[sector_rank(b ^ flip)];
+      }
+    }
+    out[idx] = acc + diag * v[idx];
+  }
+}
+
 int ed_num_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

@@ -67,3 +67,53 @@ def test_native_ground_energies():
     e_tfim = edn.ground_energy(edn.tfim_operator(n, lat.nn_bonds))
     e_tfim_sp = exact.ground_energy(exact.sparse_tfim(n, lat.nn_bonds))
     np.testing.assert_allclose(e_tfim, e_tfim_sp, rtol=1e-10)
+
+
+@pytest.mark.skipif(not edn.available(), reason="no native toolchain")
+def test_sector_matvec_matches_full_hilbert():
+    """Sector-restricted matvec == full matvec projected to the sector
+    (combinadic ranking + Gosper enumeration oracle), J1-J2 couplings."""
+    lat = square(4)
+    n = lat.n_sites
+    bonds = np.concatenate([lat.nn_bonds, lat.nnn_bonds])
+    coup = np.concatenate([np.ones(len(lat.nn_bonds)),
+                           0.5 * np.ones(len(lat.nnn_bonds))])
+    op_full = edn.heisenberg_operator(n, bonds, coup)
+    op_sec = edn.heisenberg_sector_operator(n, bonds, coup)
+    from math import comb
+    dim = comb(n, n // 2)
+    assert op_sec.shape == (dim, dim)
+    # basis bookkeeping: embed a random sector vector into the full space,
+    # apply the full operator, pull back — must equal the sector matvec
+    states = np.array(
+        [b for b in range(1 << n) if bin(b).count("1") == n // 2],
+        np.int64)
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=dim)
+    v_full = np.zeros(1 << n)
+    v_full[states] = v
+    want = (op_full @ v_full)[states]
+    got = op_sec @ v
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+@pytest.mark.skipif(not edn.available(), reason="no native toolchain")
+def test_sector_ground_energy_matches_full():
+    """The AFM ground state lives in S^z=0: sector Lanczos == full
+    Lanczos (Heisenberg chain) and == scipy sparse (J1-J2 4x4)."""
+    n = 14
+    lat = chain(n)
+    e_sec = edn.ground_energy(
+        edn.heisenberg_sector_operator(n, lat.nn_bonds))
+    e_full = edn.ground_energy(edn.heisenberg_operator(n, lat.nn_bonds))
+    np.testing.assert_allclose(e_sec, e_full, rtol=1e-10)
+
+    lat2 = square(4)
+    bonds = np.concatenate([lat2.nn_bonds, lat2.nnn_bonds])
+    coup = np.concatenate([np.ones(len(lat2.nn_bonds)),
+                           0.5 * np.ones(len(lat2.nnn_bonds))])
+    e_sec2 = edn.ground_energy(
+        edn.heisenberg_sector_operator(16, bonds, coup))
+    e_sp = exact.ground_energy(exact.sparse_heisenberg(
+        16, lat2.nn_bonds, nnn_bonds=lat2.nnn_bonds, j2=0.5))
+    np.testing.assert_allclose(e_sec2, e_sp, rtol=1e-9)
