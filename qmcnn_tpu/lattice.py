@@ -209,6 +209,43 @@ class Lattice:
         return np.asarray(bonds, dtype=np.int32).reshape(-1, 2)
 
     @cached_property
+    def triangles(self) -> np.ndarray:
+        """[n_triangles, 3] site triples of all elementary NN triangles,
+        each ordered COUNTERCLOCKWISE in Cartesian coordinates (a1=(1,0),
+        a2=(1/2, sqrt(3)/2)) — the orientation convention the scalar spin
+        chirality <S_i . (S_j x S_k)> needs to be summed consistently.
+
+        Triangular: 2 per cell — up (v, v+a1, v+a2) and down
+        (v+a1, v+a1+a2, v+a2). Kagome: 2 per cell — up (A, B, C) in-cell
+        and down (B(x,y), C(x+1,y-1), A(x+1,y)). Other geometries have no
+        elementary triangles (bipartite NN graphs) and raise.
+        """
+        if self.geometry == "triangular":
+            tris = []
+            for x in range(self.shape[0]):
+                for y in range(self.shape[1]):
+                    tris.append((self.site_index((x, y)),
+                                 self.site_index((x + 1, y)),
+                                 self.site_index((x, y + 1))))
+                    tris.append((self.site_index((x + 1, y)),
+                                 self.site_index((x + 1, y + 1)),
+                                 self.site_index((x, y + 1))))
+            return np.asarray(tris, np.int32)
+        if self.geometry == "kagome":
+            tris = []
+            for x in range(self.shape[0]):
+                for y in range(self.shape[1]):
+                    tris.append((self.site_index((x, y, 0)),
+                                 self.site_index((x, y, 1)),
+                                 self.site_index((x, y, 2))))
+                    tris.append((self.site_index((x, y, 1)),
+                                 self.site_index((x + 1, y - 1, 2)),
+                                 self.site_index((x + 1, y, 0))))
+            return np.asarray(tris, np.int32)
+        raise ValueError(f"geometry {self.geometry!r} has no elementary "
+                         "NN triangles (bipartite NN graph)")
+
+    @cached_property
     def sublattice_mask(self) -> np.ndarray:
         """[n_sites] int32 in {0,1}: bipartite A/B mask.
 

@@ -49,7 +49,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             lanczos: bool = False,
             total_spin: bool = False,
             dimer: bool = False,
-            renyi2_region: str | None = None):
+            renyi2_region: str | None = None,
+            chirality: bool = False):
     sharded, params, lattice = build_sharded(cfg)
     vmc = sharded.vmc
     # with parallel tempering only the beta=1 replica is |psi|^2-distributed
@@ -121,6 +122,16 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
                 sector_mask=sector_mask)
 
     swap_trace = []
+    chi_trace = []
+    if chirality:
+        lattice.triangles  # raises early on triangle-free geometries
+
+        @jax.jit
+        def chirality_once(state):
+            w = phys(state.walkers)
+            return observables.scalar_chirality(
+                vmc.log_psi_fn, state.params, w.s, w.log_psi, lattice)
+
 
     @jax.jit
     def measure_once(state):
@@ -183,6 +194,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             lz_g.append(np.asarray(g_i.to_numpy()))
         if region is not None:
             swap_trace.append(float(renyi2_once(state).re))
+        if chirality:
+            chi_trace.append(float(chirality_once(state).re))
 
     s2 = None
     if total_spin:
@@ -261,6 +274,9 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         report["renyi2_swap_err"] = binned_stderr(np.asarray(swap_trace))
         report["renyi2_entropy"] = observables.renyi2_entropy(swap_mean)
         report["renyi2_region_size"] = int(np.asarray(region).sum())
+    if chirality:
+        report["scalar_chirality"] = float(np.mean(chi_trace))
+        report["scalar_chirality_err"] = binned_stderr(np.asarray(chi_trace))
     if fid is not None:
         report["fidelity_vs_ckpt"] = fid
     if s2 is not None:
@@ -304,6 +320,10 @@ def main(argv=None):
     p.add_argument("--dimer", action="store_true",
                    help="also report z-dimer correlations + structure "
                         "factor (VBS order probe; 2D square lattices)")
+    p.add_argument("--chirality", action="store_true",
+                   help="also report the scalar spin chirality "
+                        "<S_i.(S_j x S_k)> averaged over CCW triangles "
+                        "(triangular/kagome; chiral-order diagnostic)")
     p.add_argument("--renyi2", default=None, metavar="REGION",
                    help="also report the Renyi-2 entanglement entropy of a "
                         "region via the replica swap trick: 'half', a site "
@@ -318,7 +338,8 @@ def main(argv=None):
                      lanczos=args.lanczos_step,
                      total_spin=args.total_spin,
                      dimer=args.dimer,
-                     renyi2_region=args.renyi2)
+                     renyi2_region=args.renyi2,
+                     chirality=args.chirality)
     print(json.dumps({k: v for k, v in report.items() if k != "szsz_corr"},
                      indent=2))
     print("szsz_corr:", np.array2string(np.asarray(report["szsz_corr"]),

@@ -224,6 +224,61 @@ def offdiag_observable(log_psi_fn, params, s: Array, log_psi: C,
              pmean(o_loc.im.mean(), axis_name))
 
 
+def chirality_connected(lattice: Lattice):
+    """connected_fn for the scalar spin chirality
+    chi = (1/n_tri) sum_triangles S_i . (S_j x S_k)  (CCW-ordered
+    triangles from ``lattice.triangles``).
+
+    Expansion (spin-1/2, S^z = s/2): chi restricted to one triangle is
+      (i/2) sum_cyclic S_a^z (S_b^+ S_c^- - S_b^- S_c^+),
+    so each cyclic pair (b, c) contributes one pair-flip connected state
+    with the PURELY IMAGINARY matrix element i * (-s_a s_b / 4) when
+    (b, c) is anti-aligned. This function returns the REAL weights c_k;
+    the observable is chi = i * z with z = offdiag_observable(...), i.e.
+    chi = C(-z.im, z.re) — see ``scalar_chirality``. No Marshall variant:
+    elementary triangles only exist on non-bipartite geometries, where
+    the rotation does not apply.
+    """
+    tris = np.asarray(lattice.triangles)            # [T, 3] CCW
+    t = len(tris)
+    cyc = [(0, 1, 2), (1, 2, 0), (2, 0, 1)]
+    a_idx = np.concatenate([tris[:, p[0]] for p in cyc])   # [K = 3T]
+    b_idx = np.concatenate([tris[:, p[1]] for p in cyc])
+    c_idx = np.concatenate([tris[:, p[2]] for p in cyc])
+    n = lattice.n_sites
+    k = len(a_idx)
+    flips = np.ones((k, n), np.float32)
+    flips[np.arange(k), b_idx] = -1.0
+    flips[np.arange(k), c_idx] = -1.0
+    flips_j = jnp.asarray(flips)
+    a_j, b_j, c_j = map(jnp.asarray, (a_idx, b_idx, c_idx))
+
+    def connected(s: Array):
+        s_a, s_b, s_c = s[a_j], s[b_j], s[c_j]
+        anti = (s_b * s_c) < 0.0
+        coeff = -(s_a * s_b) / (4.0 * t)
+        sp = s[None, :] * flips_j
+        return sp, coeff, anti
+
+    return connected
+
+
+def scalar_chirality(log_psi_fn, params, s: Array, log_psi: C,
+                     lattice: Lattice,
+                     axis_name: Optional[str] = None) -> C:
+    """<chi> = (1/n_tri) sum_t <S_i . (S_j x S_k)> over CCW triangles.
+
+    The order parameter for chiral spin liquids / chiral symmetry
+    breaking on triangular and kagome lattices; identically 0 for any
+    time-reversal-invariant state (e.g. any real-amplitude psi) — a
+    finite value requires complex amplitudes AND broken chirality.
+    """
+    z = offdiag_observable(log_psi_fn, params, s, log_psi,
+                           chirality_connected(lattice),
+                           axis_name=axis_name)
+    return C(-z.im, z.re)  # chi = i * z
+
+
 def renyi2_swap(log_psi_fn, params, s1: Array, s2: Array,
                 log_psi1: C, log_psi2: C, region: Array,
                 sector_mask: bool = False,

@@ -369,3 +369,78 @@ def test_renyi2_marshall_rotation_cancels():
                     log_psi_rot(v, jnp.asarray(s2)), region)
     np.testing.assert_allclose(float(a.re), float(b.re), rtol=1e-5)
     np.testing.assert_allclose(float(a.im), float(b.im), atol=1e-5)
+
+
+def _dense_chirality(lattice) -> np.ndarray:
+    """Independent dense S_i.(S_j x S_k) averaged over CCW triangles,
+    built from Kronecker products of spin-1/2 matrices."""
+    n = lattice.n_sites
+    sx = np.array([[0, 0.5], [0.5, 0]], complex)
+    sy = np.array([[0, -0.5j], [0.5j, 0]], complex)
+    sz = np.array([[0.5, 0], [0, -0.5]], complex)
+    spin = [sx, sy, sz]
+
+    def site_op(op, i):
+        # exact._spins bit convention: site i = bit i (fastest for i=0)
+        m = np.eye(1, dtype=complex)
+        for p in range(n):
+            m = np.kron(spin[op] if p == i else np.eye(2), m)
+        return m
+
+    eps = np.zeros((3, 3, 3))
+    for a, b, c in [(0, 1, 2), (1, 2, 0), (2, 0, 1)]:
+        eps[a, b, c] = 1.0
+        eps[a, c, b] = -1.0
+    tris = np.asarray(lattice.triangles)
+    chi = np.zeros((1 << n, 1 << n), complex)
+    for (i, j, k) in tris:
+        for a in range(3):
+            for b in range(3):
+                for c in range(3):
+                    if eps[a, b, c]:
+                        chi += eps[a, b, c] * (
+                            site_op(a, i) @ site_op(b, j) @ site_op(c, k))
+    return chi / len(tris)
+
+
+def test_scalar_chirality_exact_enumeration():
+    """MC chirality estimator averaged with exact |psi|^2 weights over the
+    full enumeration == dense <psi|chi|psi>/<psi|psi> for a complex CNN
+    on the triangular lattice; and == 0 for a real (time-reversal
+    invariant) wavefunction."""
+    from qmcnn_tpu.lattice import triangular
+    from qmcnn_tpu.ops.observables import scalar_chirality
+
+    lat = triangular(3, 3)
+    n = lat.n_sites
+    configs = jnp.asarray(exact.all_configs(n))
+    chi_dense = _dense_chirality(lat)
+
+    for complex_params in (True, False):
+        model = LogPsiCNN(lattice_shape=tuple(lat.shape), channels=(3,),
+                          complex_params=complex_params, param_scale=0.4)
+        v = model.init(jax.random.key(11), jnp.ones((1, n), jnp.float32))
+
+        def log_psi_fn(p, s):
+            return log_psi_apply(model, p, s)
+
+        lp = log_psi_fn(v, configs)
+        lpc = np.asarray(lp.re, np.float64) + 1j * np.asarray(lp.im)
+        psi = np.exp(lpc - lpc.real.max())
+        want = np.vdot(psi, chi_dense @ psi) / np.vdot(psi, psi)
+        assert abs(want.imag) < 1e-10  # chi is Hermitian
+
+        # per-config chi_loc, reweighted by exact |psi|^2
+        logw = 2.0 * np.asarray(lp.re, np.float64)
+        w = np.exp(logw - logw.max())
+        w /= w.sum()
+        chi_one = jax.jit(lambda s1, lp1: scalar_chirality(
+            log_psi_fn, v, s1, lp1, lat).re)
+        zloc = np.array([float(chi_one(configs[i:i + 1],
+                                       C(lp.re[i:i + 1], lp.im[i:i + 1])))
+                         for i in range(configs.shape[0])])
+        got_re = float(np.dot(w, zloc))
+        np.testing.assert_allclose(got_re, want.real, atol=1e-5)
+        if not complex_params:
+            np.testing.assert_allclose(got_re, 0.0, atol=1e-10)
+            np.testing.assert_allclose(want.real, 0.0, atol=1e-10)
