@@ -49,7 +49,7 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             lanczos: bool = False,
             total_spin: bool = False,
             dimer: bool = False,
-            renyi2_region: str | None = None,
+            renyi2_region=None,
             chirality: bool = False):
     sharded, params, lattice = build_sharded(cfg)
     vmc = sharded.vmc
@@ -98,9 +98,15 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         nn_disp = int(np.ravel_multi_index(
             tuple([1] + [0] * (lattice.ndim - 1)), lattice.shape))
 
-    region = None
-    if renyi2_region is not None:
-        region = jnp.asarray(parse_region(renyi2_region, n))
+    regions = None
+    if renyi2_region:
+        # one spec or a list of specs (repeated --renyi2): all regions are
+        # evaluated in ONE jitted pass per sample — an entanglement-
+        # scaling scan costs len(regions) swap forwards, not recompiles
+        specs = ([renyi2_region] if isinstance(renyi2_region, str)
+                 else list(renyi2_region))
+        regions = jnp.stack([jnp.asarray(parse_region(sp, n))
+                             for sp in specs])
         # exchange-family moves keep walkers in one S^z sector; the swap
         # estimator must then mask mismatched-region pairs (see
         # observables.renyi2_swap docstring)
@@ -117,9 +123,9 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             s1, s2 = s[0::2], s[1::2]
             lp1 = _C(lp.re[0::2], lp.im[0::2])
             lp2 = _C(lp.re[1::2], lp.im[1::2])
-            return observables.renyi2_swap(
-                vmc.log_psi_fn, state.params, s1, s2, lp1, lp2, region,
-                sector_mask=sector_mask)
+            return jnp.stack([observables.renyi2_swap(
+                vmc.log_psi_fn, state.params, s1, s2, lp1, lp2, reg,
+                sector_mask=sector_mask).re for reg in regions])
 
     swap_trace = []
     chi_trace = []
@@ -192,8 +198,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             e1_i, g_i = lanczos_once(state)
             lz_e1.append(np.asarray(e1_i.to_numpy()))
             lz_g.append(np.asarray(g_i.to_numpy()))
-        if region is not None:
-            swap_trace.append(float(renyi2_once(state).re))
+        if regions is not None:
+            swap_trace.append(np.asarray(renyi2_once(state)))
         if chirality:
             chi_trace.append(float(chirality_once(state).re))
 
@@ -266,14 +272,22 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         report["dimer_sf_pi0"] = float(sd[lattice.shape[0] // 2, 0])
         report["dimer_sf_peak"] = float(sd.max())
         report["dimer_sf_peak_q_index"] = int(sd.argmax())
-    if region is not None:
+    if regions is not None:
         # average the Tr(rho_A^2) estimates, THEN -ln (log of the mean;
         # mean-of-logs is biased for a noisy positive estimator)
-        swap_mean = float(np.mean(swap_trace))
-        report["renyi2_swap_mean"] = swap_mean
-        report["renyi2_swap_err"] = binned_stderr(np.asarray(swap_trace))
-        report["renyi2_entropy"] = observables.renyi2_entropy(swap_mean)
-        report["renyi2_region_size"] = int(np.asarray(region).sum())
+        traces = np.stack(swap_trace)                     # [samples, R]
+        means = traces.mean(axis=0)
+        report["renyi2_swap_mean"] = [float(x) for x in means]
+        report["renyi2_swap_err"] = [binned_stderr(traces[:, r])
+                                     for r in range(traces.shape[1])]
+        report["renyi2_entropy"] = [observables.renyi2_entropy(float(x))
+                                    for x in means]
+        report["renyi2_region_size"] = [int(r.sum())
+                                        for r in np.asarray(regions)]
+        if len(means) == 1:  # single-region back-compat: plain scalars
+            for k in ("renyi2_swap_mean", "renyi2_swap_err",
+                      "renyi2_entropy", "renyi2_region_size"):
+                report[k] = report[k][0]
     if chirality:
         report["scalar_chirality"] = float(np.mean(chi_trace))
         report["scalar_chirality_err"] = binned_stderr(np.asarray(chi_trace))
@@ -324,10 +338,13 @@ def main(argv=None):
                    help="also report the scalar spin chirality "
                         "<S_i.(S_j x S_k)> averaged over CCW triangles "
                         "(triangular/kagome; chiral-order diagnostic)")
-    p.add_argument("--renyi2", default=None, metavar="REGION",
+    p.add_argument("--renyi2", action="append", default=None,
+                   metavar="REGION",
                    help="also report the Renyi-2 entanglement entropy of a "
                         "region via the replica swap trick: 'half', a site "
-                        "slice 'a:b', or a comma list of sites")
+                        "slice 'a:b', or a comma list of sites; repeat the "
+                        "flag for an entanglement-scaling scan (all "
+                        "regions measured in one pass)")
     p.add_argument("--override", action="append", default=[])
     args = p.parse_args(argv)
     cfg = cfglib.load(args.config, tuple(args.override))
