@@ -24,6 +24,15 @@ timeout 10000 $SUP --config configs/heis40_arnn.yaml \
   >> runs/heis40_arnn.log 2>&1
 echo "arnn-heis40 rc=$?"
 
+# 2b. ARNN 2D gate: J1-J2 4x4 with the PixelCNN trunk + complex phases
+#     + sector conditionals + exact sampling, vs ED
+timeout 8000 $SUP --config configs/j1j2_4x4_arnn.yaml \
+  --override run.csv_path=runs/j1j2_4x4_arnn.csv \
+  --override run.ckpt_dir=runs/j1j2_4x4_arnn_ckpt --override run.ckpt_every=500 \
+  --override run.heartbeat_path=runs/j1j2_4x4_arnn_ckpt/heartbeat \
+  >> runs/j1j2_4x4_arnn.log 2>&1
+echo "arnn-j1j2 rc=$?"
+
 # 3. Triangular-lattice Heisenberg 6x6 (geometric frustration hero)
 timeout 10000 $SUP --config configs/tri6x6_heis.yaml \
   --override run.csv_path=runs/tri6x6.csv \
