@@ -140,6 +140,37 @@ def build_model(cfg: Config, lattice: Lattice):
             compute_dtype=m.compute_dtype,
         )
         return _maybe_spin_flip(inner, m)
+    if m.kind == "vit":
+        from qmcnn_tpu.models.vit import LogPsiViT
+
+        if not lattice.pbc:
+            raise ValueError("vit projects translations by rolling the "
+                             "grid — periodic boundaries required")
+        if lattice.geometry != "hypercubic" or lattice.basis > 1:
+            raise ValueError("vit patchifies the hypercubic site grid; "
+                             f"geometry={lattice.geometry!r} is not "
+                             "supported")
+        if m.translation_average:
+            raise ValueError("vit is already exactly translation invariant "
+                             "(relpos attention + sub-patch projection); "
+                             "drop translation_average")
+        inner = LogPsiViT(
+            lattice_shape=tuple(lattice.shape),
+            channels=tuple(m.channels),
+            patch=m.vit_patch,
+            n_heads=m.vit_heads,
+            mlp_ratio=m.vit_mlp_ratio,
+            factored=m.vit_factored,
+            complex_params=m.complex_params,
+            param_scale=m.param_scale,
+            compute_dtype=m.compute_dtype,
+        )
+        if m.point_group_average:
+            if lattice.ndim != 2:
+                raise ValueError("point_group_average needs a 2D lattice")
+            inner = PointGroupAveraged(inner=inner,
+                                       lattice_shape=tuple(lattice.shape))
+        return _maybe_spin_flip(inner, m)
     if m.kind != "cnn":
         raise ValueError(f"unknown model kind {m.kind!r}")
     inner = LogPsiCNN(

@@ -35,7 +35,7 @@ class LatticeConfig:
 
 @dataclass(frozen=True)
 class ModelConfig:
-    kind: str = "cnn"  # cnn | gcnn | rbm | arnn
+    kind: str = "cnn"  # cnn | gcnn | rbm | arnn | vit
     channels: Tuple[int, ...] = (8, 8)
     kernel_size: int = 3
     complex_params: bool = False
@@ -89,6 +89,14 @@ class ModelConfig:
     #: PixelCNN raster-causal masked-conv trunk (2D lattices; channels =
     #: `channels`, spatial weight sharing, O(k^2 C^2) params)
     arnn_conv_kernel: int = 0
+    #: ViT-only (kind='vit'; channels = constant per-block width, one entry
+    #: per transformer block): patch edge (must divide every lattice dim)
+    vit_patch: int = 2
+    vit_heads: int = 4
+    vit_mlp_ratio: int = 2
+    #: position-only ("factored") attention — the NQS-literature default;
+    #: False = standard dot-product attention + relative-position bias
+    vit_factored: bool = True
 
 
 @dataclass(frozen=True)
