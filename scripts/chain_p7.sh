@@ -1,0 +1,5 @@
+#!/bin/bash
+# Wait for the pipeline-6 shell (pid $1) to exit, then run pipeline 7.
+while kill -0 "$1" 2>/dev/null; do sleep 60; done
+sleep 30   # let the chip settle
+bash /root/repo/scripts/r2_pipeline7.sh > /root/repo/runs/r2_pipeline7.out 2>&1

@@ -334,3 +334,51 @@ def test_sharded_tempered_step_matches_single_device(eight_devices):
                                    rtol=2e-5, atol=1e-5)
         np.testing.assert_allclose(flat(state1.params), flat(state8.params),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_sharded_vit_minsr_matches_single_device(eight_devices):
+    """The ViT family on the hero-style path — factored-attention ViT +
+    spin-parity projection + exchange_anti + distributed minSR — must be
+    walker-for-walker and parameter-identical to the single-device run
+    (extends the per-family sharded-equality matrix to the new ansatz)."""
+    from qmcnn_tpu.lattice import square
+    from qmcnn_tpu.models.gcnn import SpinFlipSymmetrized
+    from qmcnn_tpu.models.vit import LogPsiViT
+
+    lat = square(4, 4)
+    ham = Heisenberg(lat, j2=0.5)
+    model = SpinFlipSymmetrized(
+        inner=LogPsiViT(lattice_shape=(4, 4), channels=(8,), patch=2,
+                        n_heads=2, complex_params=True, param_scale=0.1),
+        sector=1)
+
+    def log_psi_fn(p, s):
+        return log_psi_apply(model, p, s)
+
+    params = model.init(jax.random.key(0), jnp.ones((1, 16), jnp.float32))
+    sr = SR(solver="minsr", diag_shift0=0.1, diag_shift_decay=1.0,
+            diag_shift_min=0.1)
+
+    def make(axis_name):
+        sampler = MetropolisSampler(log_psi_fn, n_sites=16,
+                                    move="exchange_anti",
+                                    bonds=lat.nn_bonds)
+        return VMC(log_psi_fn=log_psi_fn, ham=ham, sampler=sampler,
+                   optimizer=optax.sgd(0.02), n_sweeps=1, sr=sr,
+                   axis_name=axis_name)
+
+    mesh = walker_mesh(8)
+    vmc1, vmc8 = make(None), make("dp")
+    state1 = vmc1.init_state(jax.random.key(1), M, params)
+    sharded = make_sharded_vmc(vmc8, mesh, state1)
+    state8 = sharded.init_state(jax.random.key(1), M, params)
+    for it in range(2):
+        key = jax.random.fold_in(jax.random.key(11), it)
+        state1, m1 = jax.jit(vmc1.step)(state1, key, jnp.arange(M))
+        state8, m8 = sharded.step(state8, key)
+        np.testing.assert_array_equal(np.asarray(state1.walkers.s),
+                                      np.asarray(state8.walkers.s))
+        np.testing.assert_allclose(float(m1.energy_re), float(m8.energy_re),
+                                   rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(flat(state1.params), flat(state8.params),
+                                   rtol=5e-4, atol=5e-6)
