@@ -17,7 +17,7 @@ from qmcnn_tpu.configs import Config
 from qmcnn_tpu.lattice import Lattice
 from qmcnn_tpu.models.cnn import (LogPsiCNN, PointGroupAveraged,
                                   TranslationAveraged, log_psi_apply)
-from qmcnn_tpu.ops.hamiltonians import TFIM, Heisenberg
+from qmcnn_tpu.ops.hamiltonians import TFIM, XYZ, Heisenberg
 from qmcnn_tpu.parallel.mesh import ShardedVMC, make_sharded_vmc, walker_mesh
 from qmcnn_tpu.sampler.metropolis import MetropolisSampler
 from qmcnn_tpu.sr import SR
@@ -38,6 +38,9 @@ def build_hamiltonian(cfg: Config, lattice: Lattice):
     if h.kind == "j1j2":
         return Heisenberg(lattice, j=h.j, j2=h.j2, marshall=h.marshall,
                           delta=h.delta)
+    if h.kind == "xyz":
+        return XYZ(lattice, jx=h.jx, jy=h.jy, jz=h.jz, hx=h.hx, hz=h.hz,
+                   marshall=h.marshall)
     raise ValueError(f"unknown hamiltonian kind {h.kind!r}")
 
 
@@ -332,9 +335,21 @@ def resolve_sampler_kind(cfg: Config) -> str:
 
 
 def resolve_move(cfg: Config) -> str:
+    h = cfg.hamiltonian
+    xyz_conserves_sz = h.jx == h.jy and h.hx == 0.0
     if cfg.sampler.move != "auto":
+        if (h.kind == "xyz" and not xyz_conserves_sz
+                and cfg.sampler.move.startswith("exchange")):
+            raise ValueError(
+                "xyz with jx != jy or hx != 0 does not conserve S^z; "
+                "exchange moves would freeze the sampler in one sector — "
+                "use sampler.move: flip (or auto)")
         return cfg.sampler.move
-    return "flip" if cfg.hamiltonian.kind == "tfim" else "exchange"
+    if cfg.hamiltonian.kind == "tfim":
+        return "flip"
+    if cfg.hamiltonian.kind == "xyz":
+        return "exchange" if xyz_conserves_sz else "flip"
+    return "exchange"
 
 
 def resolve_sampler_backend(cfg: Config) -> str:

@@ -101,15 +101,23 @@ class ModelConfig:
 
 @dataclass(frozen=True)
 class HamiltonianConfig:
-    kind: str = "tfim"  # tfim | heisenberg | j1j2
+    kind: str = "tfim"  # tfim | heisenberg | j1j2 | xyz
     j: float = 1.0
     h: float = 1.0      # TFIM transverse field
-    hz: float = 0.0     # TFIM longitudinal field (mixed-field Ising)
+    hz: float = 0.0     # TFIM longitudinal (sigma) / xyz longitudinal (S)
     j2: float = 0.0     # J1-J2 frustration (kind='j1j2')
     marshall: bool = True
     #: XXZ anisotropy on Sz Sz (heisenberg/j1j2 kinds; 1.0 = isotropic,
     #: 0.0 = XY model; scales only the diagonal term)
     delta: float = 1.0
+    #: kind='xyz' only: per-axis NN couplings Jx Sx Sx + Jy Sy Sy +
+    #: Jz Sz Sz and a transverse field -hx sum Sx (S = sigma/2 convention
+    #: throughout, fields included). S^z is conserved iff jx == jy and
+    #: hx == 0; otherwise the sampler must use 'flip' moves.
+    jx: float = 1.0
+    jy: float = 1.0
+    jz: float = 1.0
+    hx: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -90,6 +90,43 @@ def sparse_heisenberg(
     )
 
 
+def sparse_xyz(n: int, bonds: np.ndarray, jx: float = 1.0, jy: float = 1.0,
+               jz: float = 1.0, hx: float = 0.0, hz: float = 0.0
+               ) -> sp.csr_matrix:
+    """H = sum_bonds [Jx SxSx + Jy SySy + Jz SzSz] - hx sum Sx - hz sum Sz,
+    spin-1/2 (S = sigma/2; the field convention is S too, unlike
+    :func:`sparse_tfim`'s sigma fields).
+
+    Bit-level construction: SxSx flips a pair with element 1/4; SySy flips
+    a pair with element -(1/4) s_a s_b (each sigma^y contributes i on an
+    up->down flip and -i on down->up, so the pair picks up +1 anti-aligned
+    and -1 aligned); SzSz and Sz are diagonal. Cross-checked against a
+    literal Kronecker-product build in tests/test_xyz.py.
+    """
+    dim = 1 << n
+    s = _spins(n).astype(np.float64)
+    states = np.arange(dim, dtype=np.int64)
+    diag = np.zeros(dim, dtype=np.float64)
+    rows, cols, vals = [states], [states], [diag]
+    for (a, b) in np.asarray(bonds, dtype=np.int64):
+        zz = s[:, a] * s[:, b]
+        diag += (jz / 4.0) * zz
+        rows.append(states)
+        cols.append(states ^ ((1 << int(a)) | (1 << int(b))))
+        vals.append((jx - jy * zz) / 4.0)
+    if hz:
+        diag -= (hz / 2.0) * s.sum(axis=1)
+    if hx:
+        for i in range(n):
+            rows.append(states)
+            cols.append(states ^ (1 << i))
+            vals.append(np.full(dim, -hx / 2.0))
+    return sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(dim, dim),
+    )
+
+
 def ground_energy(ham: sp.spmatrix) -> float:
     """Lowest eigenvalue via Lanczos (dense fallback for tiny systems)."""
     dim = ham.shape[0]

@@ -204,6 +204,123 @@ class Heisenberg(Hamiltonian):
         return s_prime, jnp.asarray(self._offdiag_mel).astype(s.dtype), mask
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class XYZ(Hamiltonian):
+    """Fully anisotropic XYZ model in transverse + longitudinal fields
+    (beyond reference parity — SURVEY.md R4 ships TFIM/Heisenberg/J1-J2):
+
+      H = sum_<ij> [Jx Sx Sx + Jy Sy Sy + Jz Sz Sz]
+          - hx sum_i Sx_i - hz sum_i Sz_i,
+
+    spin-1/2 with S = sigma/2 (the Heisenberg coupling convention; note
+    the *fields* here are S-convention too, unlike TFIM's sigma fields).
+
+    Connected states (static K = n_nn_bonds [+ N when hx != 0]):
+      * pair flip on every NN bond, mel = (Jx - Jy * s_i s_j) / 4 —
+        anti-aligned bonds give (Jx+Jy)/4 (the XXZ exchange limit),
+        aligned bonds give (Jx-Jy)/4, the S^z-violating term that makes
+        XYZ more than XXZ;
+      * single flip on every site when hx != 0, mel = -hx/2.
+
+    Special-case reductions (tested): Jx=Jy=J, Jz=delta*J, hx=hz=0 is the
+    XXZ ``Heisenberg(j=J, delta=delta)``; Jx=Jy=0 is a diagonal Ising +
+    transverse/longitudinal fields.
+
+    ``marshall=True`` folds in the bipartite sign rotation D = prod_{i in A}
+    sigma^z_i: every NN pair-flip element changes sign (exactly one bond
+    end is in A) and single-flip elements at A sites change sign. Energies
+    are rotation invariant. Default False — away from the XXZ limit the
+    ground state has no Marshall positivity guarantee.
+
+    S^z is conserved iff Jx == Jy and hx == 0; ``default_move`` and the
+    builder guard enforce a sector-compatible sampler.
+    """
+
+    lattice: Lattice
+    jx: float = 1.0
+    jy: float = 1.0
+    jz: float = 1.0
+    hx: float = 0.0
+    hz: float = 0.0
+    marshall: bool = False
+
+    def __post_init__(self):
+        if self.marshall and not self.lattice.is_bipartite_compatible:
+            raise ValueError(
+                "marshall=True needs a bipartite NN graph — set "
+                "marshall: false for this lattice")
+
+    @property
+    def conserves_sz(self) -> bool:
+        return self.jx == self.jy and self.hx == 0.0
+
+    @property
+    def default_move(self) -> str:  # type: ignore[override]
+        return "exchange" if self.conserves_sz else "flip"
+
+    @property
+    def n_conn(self) -> int:
+        k = len(self.lattice.nn_bonds)
+        if self.hx != 0.0:
+            k += self.lattice.n_sites
+        return k
+
+    @cached_property
+    def _bonds(self) -> np.ndarray:
+        return self.lattice.nn_bonds
+
+    @cached_property
+    def _pair_flips(self) -> np.ndarray:
+        k, n = len(self._bonds), self.lattice.n_sites
+        f = np.ones((k, n), dtype=np.float32)
+        rows = np.arange(k)
+        f[rows, self._bonds[:, 0]] = -1.0
+        f[rows, self._bonds[:, 1]] = -1.0
+        return f
+
+    @cached_property
+    def _bond_sign(self) -> np.ndarray:
+        """Marshall sign per NN bond (-1 when the ends straddle A|B)."""
+        if not self.marshall:
+            return np.ones(len(self._bonds), dtype=np.float32)
+        sub = self.lattice.sublattice_mask
+        i, jj = self._bonds[:, 0], self._bonds[:, 1]
+        return np.where(sub[i] != sub[jj], -1.0, 1.0).astype(np.float32)
+
+    @cached_property
+    def _site_sign(self) -> np.ndarray:
+        """Marshall sign per single-site flip (-1 on sublattice A)."""
+        if not self.marshall:
+            return np.ones(self.lattice.n_sites, dtype=np.float32)
+        return np.where(np.asarray(self.lattice.sublattice_mask) == 0,
+                        -1.0, 1.0).astype(np.float32)
+
+    def diag(self, s: Array) -> Array:
+        b = self._bonds
+        out = (self.jz / 4.0) * jnp.sum(s[b[:, 0]] * s[b[:, 1]])
+        if self.hz:
+            out = out - (self.hz / 2.0) * jnp.sum(s)
+        return out
+
+    def connected(self, s: Array) -> Tuple[Array, Array, Array]:
+        b = self._bonds
+        zz = s[b[:, 0]] * s[b[:, 1]]
+        mel_bond = jnp.asarray(self._bond_sign) * (self.jx - self.jy * zz) / 4.0
+        sp_bond = s[None, :] * jnp.asarray(self._pair_flips)
+        mask_bond = jnp.abs(mel_bond) > 0
+        # masked rows get a tame forward input (same hygiene as Heisenberg)
+        sp_bond = jnp.where(mask_bond[:, None], sp_bond, s[None, :])
+        if self.hx == 0.0:
+            return sp_bond, mel_bond.astype(s.dtype), mask_bond
+        n = self.lattice.n_sites
+        sp_flip = s[None, :] * (1.0 - 2.0 * jnp.eye(n, dtype=s.dtype))
+        mel_flip = jnp.asarray(self._site_sign) * (-self.hx / 2.0)
+        mask_flip = jnp.ones((n,), dtype=bool)
+        return (jnp.concatenate([sp_bond, sp_flip], axis=0),
+                jnp.concatenate([mel_bond, mel_flip]).astype(s.dtype),
+                jnp.concatenate([mask_bond, mask_flip]))
+
+
 def j1j2(lattice: Lattice, j1: float = 1.0, j2: float = 0.5,
          marshall: bool = True) -> Heisenberg:
     """2D J1-J2 frustrated Heisenberg model (BASELINE config 4)."""

@@ -42,6 +42,9 @@ def exact_reference_energy(cfg) -> Optional[float]:
         sp = exact.sparse_heisenberg(lattice.n_sites, lattice.nn_bonds,
                                      j=h.j, nnn_bonds=lattice.nnn_bonds,
                                      j2=h.j2, delta=h.delta)
+    elif h.kind == "xyz":
+        sp = exact.sparse_xyz(lattice.n_sites, lattice.nn_bonds, jx=h.jx,
+                              jy=h.jy, jz=h.jz, hx=h.hx, hz=h.hz)
     else:
         return None
     return exact.ground_energy(sp)
