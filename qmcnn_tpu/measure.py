@@ -81,6 +81,21 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
                                n_sweeps=therm_sweeps)
 
     n = lattice.n_sites
+    # reuse the training auto-chunk (builder/auto_chunk_size) for every
+    # measurement forward: a checkpoint whose train step needed chunking
+    # (e.g. deep GCNN at M=2048 on 8x8 — 70 GB unchunked, observed) would
+    # otherwise OOM the moment it is measured. Adjust to divide the global
+    # walker count (train chunks per shard; measure jits over the full M).
+    m_walkers = cfg.sampler.n_walkers
+    le_chunk = vmc.chunk_size
+    if le_chunk is not None:
+        le_chunk = max(1, min(le_chunk, m_walkers))
+        while m_walkers % le_chunk:
+            le_chunk -= 1
+        if le_chunk >= m_walkers:
+            le_chunk = None
+    # forward-batch budget the train step is known to fit: chunk * K
+    fwd_budget = (le_chunk or m_walkers) * max(1, vmc.ham.n_conn)
     e_trace, m_trace, mst_trace, ss_trace = [], [], [], []
     # on a 1-site basis corr is C(r) [n_sites]; with a basis it is the
     # sublattice-resolved C_ab(r) flattened to [basis^2 * n_cells]
@@ -136,20 +151,22 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         def chirality_once(state):
             w = phys(state.walkers)
             return observables.scalar_chirality(
-                vmc.log_psi_fn, state.params, w.s, w.log_psi, lattice)
+                vmc.log_psi_fn, state.params, w.s, w.log_psi, lattice,
+                chunk_size=le_chunk)
 
 
     @jax.jit
     def measure_once(state):
         walkers = phys(state.walkers)
         e = local_energy(vmc.log_psi_fn, state.params, vmc.ham, walkers.s,
-                         walkers.log_psi)
+                         walkers.log_psi, chunk_size=le_chunk)
         if on_grid:
             ss_nn = observables.spin_spin_correlation(
                 vmc.log_psi_fn, state.params, walkers.s, walkers.log_psi,
                 lattice, nn_disp,
                 marshall=(cfg.hamiltonian.kind in ("heisenberg", "j1j2")
-                          and cfg.hamiltonian.marshall)).re
+                          and cfg.hamiltonian.marshall),
+                chunk_size=le_chunk).re
             corr = observables.szsz_correlation(walkers.s, lattice)
         else:
             ss_nn = jnp.zeros(())
@@ -214,7 +231,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             phys(st.walkers).log_psi,
             lattice,
             marshall=(cfg.hamiltonian.kind in ("heisenberg", "j1j2")
-                      and cfg.hamiltonian.marshall)))(state)
+                      and cfg.hamiltonian.marshall),
+            pair_chunk=max(1, fwd_budget // m_walkers)))(state)
         s2 = float(s2_out.re)
 
     fid = None

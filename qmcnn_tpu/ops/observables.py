@@ -180,7 +180,8 @@ def spin_spin_connected(lattice: Lattice, displacement: int,
 def spin_spin_correlation(log_psi_fn, params, s: Array, log_psi: C,
                           lattice: Lattice, displacement: int,
                           marshall: bool = False,
-                          axis_name: Optional[str] = None) -> C:
+                          axis_name: Optional[str] = None,
+                          chunk_size: Optional[int] = None) -> C:
     """Full C(r) = (1/N) sum_i <S_i . S_{i+r}> for one displacement.
 
     Diagonal S^z S^z part from configurations (free); transverse part via
@@ -201,25 +202,45 @@ def spin_spin_correlation(log_psi_fn, params, s: Array, log_psi: C,
     off = offdiag_observable(
         log_psi_fn, params, s, log_psi,
         spin_spin_connected(lattice, displacement, marshall=marshall),
-        axis_name=axis_name)
+        axis_name=axis_name, chunk_size=chunk_size)
     return C(pmean(diag, axis_name) + off.re, off.im)
 
 
 def offdiag_observable(log_psi_fn, params, s: Array, log_psi: C,
-                       connected_fn, axis_name: Optional[str] = None) -> C:
+                       connected_fn, axis_name: Optional[str] = None,
+                       chunk_size: Optional[int] = None) -> C:
     """<O> for an off-diagonal operator given its connected decomposition.
 
     ``connected_fn(s) -> (s' [K, N], coeff [K], mask [K])`` mirrors the
     Hamiltonian interface; the estimator is the same amplitude-ratio sum as
     the local energy: O_loc(s) = sum_k mask*coeff*psi(s')/psi(s).
+    ``chunk_size`` bounds the [chunk * K, N] forward exactly like
+    ops/local_energy.py does — measurement passes reuse the training
+    auto-chunk so big-M checkpoints can be measured without OOM.
     """
-    sp, coeff, mask = jax.vmap(connected_fn)(s)
-    m, k, n = sp.shape
-    lp_prime = log_psi_fn(params, sp.reshape(m * k, n)).reshape(m, k)
-    ratio = cplx.cexp(C(lp_prime.re - log_psi.re[:, None],
-                        lp_prime.im - log_psi.im[:, None]))
-    w = coeff * mask.astype(coeff.dtype)
-    o_loc = C((w * ratio.re).sum(-1), (w * ratio.im).sum(-1))
+
+    def compute(args):
+        s_c, lp_c = args
+        sp, coeff, mask = jax.vmap(connected_fn)(s_c)
+        m, k, n = sp.shape
+        lp_prime = log_psi_fn(params, sp.reshape(m * k, n)).reshape(m, k)
+        ratio = cplx.cexp(C(lp_prime.re - lp_c.re[:, None],
+                            lp_prime.im - lp_c.im[:, None]))
+        w = coeff * mask.astype(coeff.dtype)
+        return C((w * ratio.re).sum(-1), (w * ratio.im).sum(-1))
+
+    m_total = s.shape[0]
+    if chunk_size is None or chunk_size >= m_total:
+        o_loc = compute((s, log_psi))
+    else:
+        if m_total % chunk_size:
+            raise ValueError(
+                f"chunk_size {chunk_size} must divide M={m_total}")
+        n_chunks = m_total // chunk_size
+        o_loc = jax.lax.map(
+            compute, (s.reshape(n_chunks, chunk_size, -1),
+                      log_psi.reshape(n_chunks, chunk_size)))
+        o_loc = o_loc.reshape(m_total)
     return C(pmean(o_loc.re.mean(), axis_name),
              pmean(o_loc.im.mean(), axis_name))
 
@@ -265,7 +286,8 @@ def chirality_connected(lattice: Lattice):
 
 def scalar_chirality(log_psi_fn, params, s: Array, log_psi: C,
                      lattice: Lattice,
-                     axis_name: Optional[str] = None) -> C:
+                     axis_name: Optional[str] = None,
+                     chunk_size: Optional[int] = None) -> C:
     """<chi> = (1/n_tri) sum_t <S_i . (S_j x S_k)> over CCW triangles.
 
     The order parameter for chiral spin liquids / chiral symmetry
@@ -275,7 +297,7 @@ def scalar_chirality(log_psi_fn, params, s: Array, log_psi: C,
     """
     z = offdiag_observable(log_psi_fn, params, s, log_psi,
                            chirality_connected(lattice),
-                           axis_name=axis_name)
+                           axis_name=axis_name, chunk_size=chunk_size)
     return C(-z.im, z.re)  # chi = i * z
 
 

@@ -75,6 +75,16 @@ def test_offdiag_observable_matches_energy_machinery():
     e = local_energy(log_psi_fn, v, ham, s, lp)
     want_re = float((np.asarray(e.re) - np.asarray(ham.diag_batch(s))).mean())
     np.testing.assert_allclose(float(got.re), want_re, rtol=1e-5)
+    # walker-chunked evaluation (the measure-time OOM guard) is exact
+    for chunk in (1, 4, 8, 32, 64):
+        got_c = observables.offdiag_observable(
+            log_psi_fn, v, s, lp, ham.connected, chunk_size=chunk)
+        np.testing.assert_allclose(float(got_c.re), float(got.re), rtol=1e-6)
+        np.testing.assert_allclose(float(got_c.im), float(got.im), rtol=1e-6,
+                                   atol=1e-7)
+    with pytest.raises(ValueError):
+        observables.offdiag_observable(log_psi_fn, v, s, lp, ham.connected,
+                                       chunk_size=5)
 
 
 def test_spin_spin_correlation_vs_dense_expectation():
