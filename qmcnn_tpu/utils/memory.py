@@ -91,6 +91,18 @@ def model_footprint(cfg, n_sites: int) -> ModelFootprint:
         n_layers = len(channels) + 1
         return ModelFootprint(n_sites=1, max_width=width,
                               n_layers=n_layers, n_parts=1, sym_batch=1)
+    elif m.kind == "vit":
+        # the p^d sub-patch roll projection multiplies the batch by p^d
+        # while the token grid divides the sites by p^d — they cancel, so
+        # per-config activations are ~ n_sites * d_model * mlp_ratio (the
+        # MLP hidden is the widest tensor; factored attention's
+        # softmax(bias) is input-independent and hoisted by XLA, and
+        # dot-product logits [heads, T, T] are smaller than the MLP
+        # hidden at these token counts). The generic n_parts/sym factors
+        # below stay: complex_params doubling is conservative (only the
+        # lncosh head is complex) — auto-chunking should err OOM-safe.
+        width = max(channels) * max(1, int(m.vit_mlp_ratio))
+        n_layers = len(channels)
     else:
         width = max(channels) * group
         n_layers = len(channels)

@@ -67,6 +67,39 @@ def test_deep_gcnn_16x16_gets_chunked():
     assert jc is not None and 4096 % jc == 0 and jc < 4096
 
 
+def test_vit_hero_gets_chunked():
+    """The 8x8 ViT hero (6 x 48-wide blocks, mlp_ratio 2, complex head +
+    spin-parity, M=1024 on J1-J2 K=257) is a ~50 GB E_loc batch unchunked
+    — auto must produce a finite divisor chunk, and the estimate must
+    grow with mlp_ratio (the widest trunk tensor)."""
+    cfg = cfglib.Config(
+        name="t",
+        lattice=cfglib.LatticeConfig(shape=(8, 8)),
+        model=cfglib.ModelConfig(kind="vit", channels=(48,) * 6,
+                                 complex_params=True, spin_flip_sector=1,
+                                 vit_patch=2, vit_mlp_ratio=2),
+        hamiltonian=cfglib.HamiltonianConfig(kind="j1j2", j2=0.5),
+        sampler=cfglib.SamplerConfig(n_walkers=1024),
+        sr=cfglib.SRConfig(enabled=True, solver="minsr"),
+        run=cfglib.RunConfig(n_devices=1),
+    )
+    lat = build_lattice(cfg)
+    ham = build_hamiltonian(cfg, lat)
+    cs = memory.auto_chunk_size(cfg, lat, ham, n_params=150000,
+                                hbm_bytes=HBM)
+    assert cs is not None and 1024 % cs == 0 and cs <= 256
+    fp = memory.model_footprint(cfg, lat.n_sites)
+    wide = cfglib.Config(
+        name="t", lattice=cfg.lattice,
+        model=cfglib.ModelConfig(kind="vit", channels=(48,) * 6,
+                                 complex_params=True, spin_flip_sector=1,
+                                 vit_patch=2, vit_mlp_ratio=4),
+        hamiltonian=cfg.hamiltonian, sampler=cfg.sampler, sr=cfg.sr,
+        run=cfg.run)
+    assert (memory.model_footprint(wide, lat.n_sites).fwd_bytes()
+            > fp.fwd_bytes())
+
+
 def test_chunk_monotone_in_hbm():
     cfg = _cfg((12, 12), "gcnn", (10,) * 6, 512, ham="j1j2", j2=0.5,
                complex_params=True, spin_flip=1, solver="minsr")
