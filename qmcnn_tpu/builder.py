@@ -84,19 +84,20 @@ def build_model(cfg: Config, lattice: Lattice):
 
         if m.rbm_tie_translations and not lattice.pbc:
             raise ValueError("tied-RBM weights require periodic boundaries")
-        return _maybe_spin_flip(LogPsiRBM(
+        return _maybe_spin_flip(_maybe_phase_bias(LogPsiRBM(
             lattice_shape=tuple(lattice.shape),
             alpha=m.rbm_alpha,
             complex_params=m.complex_params,
             tie_translations=m.rbm_tie_translations,
             param_scale=m.param_scale,
-        ), m)
+        ), m, lattice), m)
     if m.kind == "arnn":
         from qmcnn_tpu.models.arnn import LogPsiARNN
 
         for flag, name in ((m.translation_average, "translation_average"),
                            (m.point_group_average, "point_group_average"),
-                           (m.spin_flip_sector, "spin_flip_sector")):
+                           (m.spin_flip_sector, "spin_flip_sector"),
+                           (m.phase_bias, "phase_bias")):
             if flag:
                 raise ValueError(
                     f"model.{name} is incompatible with the autoregressive "
@@ -142,7 +143,7 @@ def build_model(cfg: Config, lattice: Lattice):
             residual=m.residual,
             compute_dtype=m.compute_dtype,
         )
-        return _maybe_spin_flip(inner, m)
+        return _maybe_spin_flip(_maybe_phase_bias(inner, m, lattice), m)
     if m.kind == "vit":
         from qmcnn_tpu.models.vit import LogPsiViT
 
@@ -168,6 +169,7 @@ def build_model(cfg: Config, lattice: Lattice):
             param_scale=m.param_scale,
             compute_dtype=m.compute_dtype,
         )
+        inner = _maybe_phase_bias(inner, m, lattice)
         if m.point_group_average:
             if lattice.ndim != 2:
                 raise ValueError("point_group_average needs a 2D lattice")
@@ -190,6 +192,7 @@ def build_model(cfg: Config, lattice: Lattice):
         residual=m.residual,
         basis=lattice.basis,
     )
+    inner = _maybe_phase_bias(inner, m, lattice)
     if m.translation_average:
         inner = TranslationAveraged(inner=inner,
                                     lattice_shape=tuple(lattice.shape),
@@ -206,6 +209,18 @@ def build_model(cfg: Config, lattice: Lattice):
         inner = PointGroupAveraged(inner=inner,
                                    lattice_shape=tuple(lattice.shape))
     return _maybe_spin_flip(inner, m)
+
+
+def _maybe_phase_bias(inner, m, lattice):
+    # Innermost wrapper (inside translation/point-group/spin-parity
+    # projections) so the projected state is the projection of the BIASED
+    # state — see models/phase.py.
+    if not m.phase_bias:
+        return inner
+    from qmcnn_tpu.models.phase import PhaseBias, phase_half_angles
+
+    return PhaseBias(inner=inner,
+                     half_angles=phase_half_angles(m.phase_bias, lattice))
 
 
 def _maybe_spin_flip(inner, m):
@@ -263,6 +278,8 @@ def model_log_psi_is_real(cfg: Config) -> bool:
     if m.kind == "gcnn" and m.gcnn_character != "A1":
         return False
     if m.momentum and any(m.momentum):
+        return False
+    if m.phase_bias:
         return False
     return True
 

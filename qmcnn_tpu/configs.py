@@ -79,6 +79,11 @@ class ModelConfig:
     #: Z2 spin-inversion projection (any model kind): 0 = off, +1/-1 = the
     #: parity sector (S^z=0 Heisenberg/J1-J2 ground states: +1)
     spin_flip_sector: int = 0
+    #: fixed phase prior on log psi (models/phase.py): null (off),
+    #: 'sublattice_120' (Huse-Elser 120-degree order for triangular/kagome)
+    #: or 'marshall' (the bipartite sign rule as an ansatz phase). Applied
+    #: inside all symmetry projections; |psi| and the sampler are untouched.
+    phase_bias: Optional[str] = None
     #: ARNN-only (kind='arnn'; channels are the masked hidden widths, and
     #: the default 'lncosh' activation is upgraded to 'selu' — lncosh is
     #: even, which wastes the masked stack's sign information):

@@ -261,6 +261,45 @@ class Lattice:
         return (self.coords.sum(axis=1) % 2).astype(np.int32)
 
     @cached_property
+    def three_coloring(self) -> np.ndarray:
+        """[n_sites] int32 in {0,1,2}: proper 3-coloring of the NN graph.
+
+        The sublattice structure of the classical 120-degree Neel order on
+        geometrically frustrated lattices — the 3-sublattice analogue of
+        :attr:`sublattice_mask` (Marshall). Used by the ``sublattice_120``
+        phase bias (Huse-Elser; see models/phase.py).
+
+        Triangular: color = (x - y) mod 3 — every NN offset (1,0), (0,1),
+        (1,-1) changes it by a nonzero amount mod 3; under PBC both
+        dimensions must be divisible by 3 for the coloring to close around
+        the torus. Kagome: the basis index (the q=0 ordering pattern —
+        every corner-sharing triangle carries all three colors). Bipartite
+        geometries have no frustrated 3-sublattice order; use
+        :attr:`sublattice_mask` / the Marshall rule there instead.
+        """
+        if self.geometry == "triangular":
+            if self.pbc and any(L % 3 for L in self.shape):
+                raise ValueError(
+                    "a periodic triangular lattice is 3-colorable only "
+                    "when both dimensions are divisible by 3 (the (x-y) "
+                    f"mod 3 coloring must close around the torus); got "
+                    f"shape={self.shape}")
+            c = (self.coords[:, 0] - self.coords[:, 1]) % 3
+        elif self.geometry == "kagome":
+            c = self.coords[:, -1] % 3
+        else:
+            raise ValueError(
+                f"geometry {self.geometry!r} has no frustrated 3-sublattice "
+                "structure — for bipartite lattices use sublattice_mask "
+                "(Marshall) instead")
+        c = c.astype(np.int32)
+        i, j = self.nn_bonds[:, 0], self.nn_bonds[:, 1]
+        if not np.all(c[i] != c[j]):  # pragma: no cover - construction guard
+            raise AssertionError("internal error: 3-coloring is not proper "
+                                 "on the NN graph")
+        return c
+
+    @cached_property
     def is_bipartite_compatible(self) -> bool:
         """True if the NN graph is two-colorable by sublattice_mask.
 
