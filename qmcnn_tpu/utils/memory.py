@@ -79,7 +79,13 @@ class ModelFootprint:
 def model_footprint(cfg, n_sites: int) -> ModelFootprint:
     m = cfg.model
     channels = tuple(m.channels) or (1,)
-    group = 8 if m.kind == "gcnn" else 1
+    # G-expanded channel width: C4v = 8 on the square lattice, D6 = 12 on
+    # the triangular embedding (models/tgcnn.py)
+    if m.kind == "gcnn":
+        group = 12 if getattr(cfg.lattice, "geometry",
+                              "hypercubic") == "triangular" else 8
+    else:
+        group = 1
     if m.kind == "rbm":
         width = max(1, int(m.rbm_alpha))
         n_layers = 1
