@@ -124,13 +124,32 @@ def build_model(cfg: Config, lattice: Lattice):
 
         if len(lattice.shape) != 2 or not lattice.pbc:
             raise ValueError("gcnn needs a periodic 2D lattice")
-        if lattice.geometry != "hypercubic":
-            raise ValueError("gcnn is C4v-equivariant — the square point "
-                             "group, not a symmetry of "
-                             f"geometry={lattice.geometry!r}")
+        if lattice.geometry not in ("hypercubic", "triangular"):
+            raise ValueError("gcnn is point-group equivariant for square "
+                             "(C4v) and triangular (D6) lattices only — "
+                             f"not geometry={lattice.geometry!r}")
         if m.translation_average or m.point_group_average:
             raise ValueError("gcnn is already fully space-group symmetric; "
                              "drop translation/point_group averaging")
+        if lattice.geometry == "triangular":
+            from qmcnn_tpu.models.tgcnn import LogPsiTriGCNN
+
+            # kernel_size names the enclosing grid (3 -> radius-1 star of
+            # 7 taps, 5 -> radius-2 star of 19 taps), matching the square
+            # GCNN's config surface
+            inner = LogPsiTriGCNN(
+                lattice_shape=tuple(lattice.shape),
+                channels=tuple(m.channels),
+                radius=max((m.kernel_size - 1) // 2, 1),
+                complex_params=m.complex_params,
+                param_scale=m.param_scale,
+                character=m.gcnn_character,
+                init_mode=m.init_mode,
+                activation=m.activation,
+                residual=m.residual,
+                compute_dtype=m.compute_dtype,
+            )
+            return _maybe_spin_flip(_maybe_phase_bias(inner, m, lattice), m)
         inner = LogPsiGCNN(
             lattice_shape=tuple(lattice.shape),
             channels=tuple(m.channels),
