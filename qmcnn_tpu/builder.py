@@ -96,8 +96,7 @@ def build_model(cfg: Config, lattice: Lattice):
 
         for flag, name in ((m.translation_average, "translation_average"),
                            (m.point_group_average, "point_group_average"),
-                           (m.spin_flip_sector, "spin_flip_sector"),
-                           (m.phase_bias, "phase_bias")):
+                           (m.spin_flip_sector, "spin_flip_sector")):
             if flag:
                 raise ValueError(
                     f"model.{name} is incompatible with the autoregressive "
@@ -109,6 +108,14 @@ def build_model(cfg: Config, lattice: Lattice):
         if m.arnn_conv_kernel and len(lattice.shape) != 2:
             raise ValueError("arnn_conv_kernel (PixelCNN trunk) needs a 2D "
                              "lattice; chains use the MADE trunk (0)")
+        half = None
+        if m.phase_bias:
+            # a pure phase composes with exact sampling — baked into the
+            # ARNN's own phase output instead of the generic wrapper
+            # (which cannot forward the sampler contract)
+            from qmcnn_tpu.models.phase import phase_half_angles
+
+            half = phase_half_angles(m.phase_bias, lattice)
         return LogPsiARNN(
             n_sites=lattice.n_sites,
             hidden=tuple(m.channels),
@@ -118,6 +125,7 @@ def build_model(cfg: Config, lattice: Lattice):
             activation=m.activation if m.activation != "lncosh" else "selu",
             conv_kernel=m.arnn_conv_kernel,
             lattice_shape=tuple(lattice.shape),
+            phase_half_angles=half,
         )
     if m.kind == "gcnn":
         from qmcnn_tpu.models.gcnn import LogPsiGCNN

@@ -142,6 +142,12 @@ class LogPsiARNN(nn.Module):
     activation: str = "selu"
     conv_kernel: int = 0
     lattice_shape: Optional[Tuple[int, ...]] = None
+    #: fixed phase prior: log psi += i * sum_i half_angles[i] * s_i
+    #: (models/phase.py semantics). A pure phase — |psi|, normalization,
+    #: the conditionals, and exact ancestral sampling are all untouched,
+    #: so unlike the generic PhaseBias wrapper it composes with the
+    #: direct sampler. None = off.
+    phase_half_angles: Optional[Tuple[float, ...]] = None
 
     def _act(self, x: Array) -> Array:
         from qmcnn_tpu.ops.cplx import ACTIVATIONS
@@ -262,11 +268,15 @@ class LogPsiARNN(nn.Module):
         is_up = s > 0
         log_p = jnp.where(is_up, log_p_up, log_p_dn).sum(-1)
         re = 0.5 * log_p
+        prior = 0.0
+        if self.phase_half_angles is not None:
+            prior = s.astype(jnp.float32) @ jnp.asarray(
+                self.phase_half_angles, jnp.float32)
         if not self.complex_params:
-            return C(re, jnp.zeros_like(re))
+            return C(re, jnp.zeros_like(re) + prior)
         _, ph_up, ph_dn = self._heads(s)
         im = jnp.where(is_up, ph_up, ph_dn).sum(-1)
-        return C(re, im)
+        return C(re, im + prior)
 
 
 def conditional_fn(model: LogPsiARNN):

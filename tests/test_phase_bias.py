@@ -164,12 +164,35 @@ def test_builder_wires_phase_bias():
                                np.asarray(configs) @ half, atol=1e-5)
 
 
-def test_builder_rejects_phase_bias_for_arnn():
+def test_arnn_phase_bias_is_pure_phase_and_stays_normalized():
+    """The ARNN bakes the prior into its own phase output (the generic
+    wrapper cannot forward the exact-sampling contract): |psi| and the
+    2^N normalization are untouched, im shifts by exactly phi(s)."""
     cfg = _tri_cfg(", phase_bias: sublattice_120")
-    bad = dataclasses.replace(cfg, model=dataclasses.replace(
-        cfg.model, kind="arnn", arnn_conv_kernel=0))
-    with pytest.raises(ValueError, match="phase_bias"):
-        build_model(bad, triangular(3))
+    base_cfg = _tri_cfg()
+    # arnn_sector none: 9 sites are odd, so the sz0 auto-sector (which
+    # needs even N) must be off — the prior itself is sector-agnostic
+    mk = lambda c: dataclasses.replace(c, model=dataclasses.replace(
+        c.model, kind="arnn", arnn_conv_kernel=0, channels=[16],
+        arnn_sector="none"))
+    lat = triangular(3)
+    m_b = build_model(mk(cfg), lat)
+    m_0 = build_model(mk(base_cfg), lat)
+    import jax as _jax
+
+    s0 = jnp.ones((1, lat.n_sites), jnp.float32)
+    v = m_0.init(_jax.random.key(0), s0)   # same trunk params for both
+    configs = jnp.asarray(exact.all_configs(lat.n_sites), jnp.float32)
+    lp0 = log_psi_apply(m_0, v, configs)
+    lp1 = log_psi_apply(m_b, v, configs)
+    np.testing.assert_allclose(np.asarray(lp1.re), np.asarray(lp0.re),
+                               rtol=1e-6)
+    half = np.asarray(phase_half_angles("sublattice_120", lat))
+    np.testing.assert_allclose(np.asarray(lp1.im - lp0.im),
+                               np.asarray(configs) @ half, atol=1e-5)
+    # exact normalization is untouched: sum |psi|^2 == 1
+    total = np.exp(2.0 * np.asarray(lp1.re, np.float64)).sum()
+    np.testing.assert_allclose(total, 1.0, rtol=1e-4)
 
 
 # -------------------------------------------------------- integration
