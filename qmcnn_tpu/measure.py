@@ -186,10 +186,15 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         from qmcnn_tpu.ops.lanczos import h_moment_samples
 
         # chunk so the [chunk * K, N] E_loc-of-connected batch stays
-        # bounded — this pass costs K x a normal local-energy pass
+        # bounded — this pass costs K x a normal local-energy pass.
+        # Budget from the training-validated forward batch (fwd_budget =
+        # train chunk x K), halved: the moment pass keeps e_prime/ratio/
+        # s_prime live on top of the forward, and the r2 pipeline's
+        # hard-coded 4096-forward budget crashed the TPU worker on the
+        # 8x8/10x10 heroes (runs/j1j2_8x8_spring_measure.log).
         k_conn = vmc.ham.n_conn
         m_local = cfg.sampler.n_walkers
-        chunk = max(1, min(m_local, 4096 // max(1, k_conn)))
+        chunk = max(1, min(m_local, fwd_budget // (2 * max(1, k_conn))))
         while m_local % chunk:
             chunk -= 1
 

@@ -63,10 +63,11 @@ class ModelFootprint:
     n_layers: int
     n_parts: int          # 2 when activations are (re, im) pairs
     sym_batch: int        # internal batch blow-up (spin-flip wrapper: 2)
+    fwd_window: float = _FWD_WINDOW   # live layer-buffers per part
 
     def fwd_bytes(self) -> float:
         """Transient bytes per config of a forward-only pass."""
-        return (_FWD_WINDOW * self.n_sites * self.max_width
+        return (self.fwd_window * self.n_sites * self.max_width
                 * self.n_parts * self.sym_batch * 4.0)
 
     def bwd_bytes(self) -> float:
@@ -118,8 +119,19 @@ def model_footprint(cfg, n_sites: int) -> ModelFootprint:
         sym *= n_sites  # one forward per translation (shift_stride aside)
     if m.kind == "cnn" and m.point_group_average:
         sym *= 8
+    # Complex conv stacks lower each layer to FOUR real convs (re*re,
+    # im*im, re*im, im*re) whose outputs are all live before combining,
+    # plus bf16 operand copies — measured on the tri6x6 D6-GCNN compile
+    # OOM (runs/tri6x6_tgcnn.log): 4 x f32[B,6,6,96] + 3 x bf16 temps,
+    # program 16.4 GB where the window-2 model predicted 6.2 GB. Window 4
+    # per part (x n_parts=2 = 8 live buffers) tracks that dump; real conv
+    # models keep the round-1-calibrated window 2.
+    window = _FWD_WINDOW
+    if m.kind in ("cnn", "gcnn") and m.complex_params:
+        window = 4.0
     return ModelFootprint(n_sites=n_sites, max_width=width,
-                          n_layers=n_layers, n_parts=n_parts, sym_batch=sym)
+                          n_layers=n_layers, n_parts=n_parts, sym_batch=sym,
+                          fwd_window=window)
 
 
 def _largest_pow2_divisor_leq(m: int, target: float) -> int:
