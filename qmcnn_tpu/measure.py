@@ -183,6 +183,7 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
 
     lz_e1, lz_g = [], []
     if lanczos:
+        from qmcnn_tpu.ops import cplx
         from qmcnn_tpu.ops.lanczos import h_moment_samples
 
         # chunk so the [chunk * K, N] E_loc-of-connected batch stays
@@ -198,12 +199,31 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         while m_local % chunk:
             chunk -= 1
 
+        # One DISPATCH per walker chunk (host loop), not one jit with an
+        # internal lax.map over all of M: the moment pass costs K x a
+        # normal E_loc pass, so a full-M dispatch runs minutes on the
+        # deep heroes and the tunneled TPU kills dispatches over ~80 s
+        # (docs/GUIDE.md; the r2 pipeline measure crashes).
         @jax.jit
+        def lanczos_chunk_fn(params, s_c, lp_re, lp_im):
+            return h_moment_samples(vmc.log_psi_fn, params, vmc.ham,
+                                    s_c, cplx.C(lp_re, lp_im),
+                                    chunk_size=None)
+
         def lanczos_once(state):
             w = phys(state.walkers)
-            return h_moment_samples(vmc.log_psi_fn, state.params, vmc.ham,
-                                    w.s, w.log_psi,
-                                    chunk_size=chunk)
+            e_re, e_im, g_re, g_im = [], [], [], []
+            for lo in range(0, m_local, chunk):
+                e1_c, g_c = lanczos_chunk_fn(
+                    state.params, w.s[lo:lo + chunk],
+                    w.log_psi.re[lo:lo + chunk],
+                    w.log_psi.im[lo:lo + chunk])
+                e_re.append(np.asarray(e1_c.re))
+                e_im.append(np.asarray(e1_c.im))
+                g_re.append(np.asarray(g_c.re))
+                g_im.append(np.asarray(g_c.im))
+            return (np.concatenate(e_re) + 1j * np.concatenate(e_im),
+                    np.concatenate(g_re) + 1j * np.concatenate(g_im))
 
     for i in range(n_samples):
         state = sharded.thermalize(state, jax.random.fold_in(key, 100 + i),
@@ -218,8 +238,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         dimer_mean_trace.append(float(dmean))
         if lanczos:
             e1_i, g_i = lanczos_once(state)
-            lz_e1.append(np.asarray(e1_i.to_numpy()))
-            lz_g.append(np.asarray(g_i.to_numpy()))
+            lz_e1.append(e1_i)
+            lz_g.append(g_i)
         if regions is not None:
             swap_trace.append(np.asarray(renyi2_once(state)))
         if chirality:
