@@ -183,3 +183,34 @@ def test_peak_estimate_respects_explicit_chunks():
                                    chunk_size=128, jacobian_chunk=128)
     assert chunked["transient_bytes"] < full["transient_bytes"]
     assert chunked["persistent_bytes"] == full["persistent_bytes"]
+
+
+def test_complex_conv_window_tri6x6_tgcnn():
+    """Regression for the tri6x6 D6-GCNN compile OOM (runs/
+    tri6x6_tgcnn.log): complex conv stacks lower to four live real convs,
+    so the window-2 footprint under-predicted 16.4G as 6.2G and auto
+    returned a chunk whose conv batch blew HBM. The complex cnn/gcnn
+    window is now 4 buffers per part; on the hero shapes the chunk must
+    come out <= 256 (measured-safe: predicted program ~8 GB)."""
+    cfg = cfglib.Config(
+        name="t",
+        lattice=cfglib.LatticeConfig(shape=(6, 6), geometry="triangular"),
+        model=cfglib.ModelConfig(kind="gcnn", channels=(8, 8, 8, 8),
+                                 kernel_size=5, complex_params=True,
+                                 spin_flip_sector=1),
+        hamiltonian=cfglib.HamiltonianConfig(kind="heisenberg",
+                                             marshall=False),
+        sampler=cfglib.SamplerConfig(n_walkers=1024),
+        sr=cfglib.SRConfig(enabled=True, solver="minsr"),
+        run=cfglib.RunConfig(n_devices=1),
+    )
+    lat = build_lattice(cfg)
+    ham = build_hamiltonian(cfg, lat)
+    fp = memory.model_footprint(cfg, lat.n_sites)
+    assert fp.fwd_window == 4.0   # complex conv: 4 live real-conv outputs
+    cs = memory.auto_chunk_size(cfg, lat, ham, n_params=30000,
+                                hbm_bytes=HBM)
+    assert cs is not None and 1024 % cs == 0 and cs <= 256
+    # real-parameter conv models keep the round-1-calibrated window 2
+    real = _cfg((10, 10), "cnn", (16, 16, 16), 2048)
+    assert memory.model_footprint(real, 100).fwd_window == 2.0
