@@ -300,6 +300,44 @@ class Lattice:
         return c
 
     @cached_property
+    def three_coloring_sqrt3(self) -> np.ndarray:
+        """[n_sites] int32 in {0,1,2}: the sqrt(3) x sqrt(3) 3-coloring of
+        the kagome NN graph.
+
+        The kagome AF has TWO competing classical 120-degree patterns:
+        q=0 (color = basis index; :attr:`three_coloring`) and the
+        sqrt(3) x sqrt(3) order whose magnetic cell is three crystal
+        cells: c = (basis + y - x) mod 3. Every NN bond changes c
+        (intra-cell bonds differ by basis; the inter-cell bonds
+        (1,0,(1,0)), (2,0,(0,1)), (1,2,(1,-1)) shift by the cell offset),
+        and the pattern closes on the torus only when BOTH cell dims are
+        divisible by 3 — which is exactly why the 18-site 2x3-cell gate
+        could never host it (BASELINE.md r2 kagome rows).
+
+        On the triangular lattice the (x-y) mod 3 coloring already IS the
+        sqrt(3) x sqrt(3) pattern (one crystal site per cell), so this
+        property is kagome-only.
+        """
+        if self.geometry != "kagome":
+            raise ValueError(
+                "sqrt3 coloring is kagome-only (on triangular, "
+                "three_coloring already is the sqrt(3) pattern); got "
+                f"geometry={self.geometry!r}")
+        if self.pbc and any(L % 3 for L in self.shape):
+            raise ValueError(
+                "the sqrt(3) x sqrt(3) kagome pattern closes around the "
+                "torus only when both cell dimensions are divisible by 3; "
+                f"got shape={self.shape}")
+        x, y, b = (self.coords[:, 0], self.coords[:, 1],
+                   self.coords[:, 2])
+        c = ((b + y - x) % 3).astype(np.int32)
+        i, j = self.nn_bonds[:, 0], self.nn_bonds[:, 1]
+        if not np.all(c[i] != c[j]):  # pragma: no cover - construction guard
+            raise AssertionError("internal error: sqrt3 coloring is not "
+                                 "proper on the NN graph")
+        return c
+
+    @cached_property
     def is_bipartite_compatible(self) -> bool:
         """True if the NN graph is two-colorable by sublattice_mask.
 

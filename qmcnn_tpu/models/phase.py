@@ -50,13 +50,16 @@ from qmcnn_tpu.ops.cplx import C
 
 Array = jax.Array
 
-KINDS = ("sublattice_120", "marshall")
+KINDS = ("sublattice_120", "sublattice_sqrt3", "marshall")
 
 
 def phase_half_angles(kind: str, lattice: Lattice) -> Tuple[float, ...]:
     """Per-site theta_i / 2 for a named phase prior (host-side constants)."""
     if kind == "sublattice_120":
         theta = (2.0 * np.pi / 3.0) * lattice.three_coloring
+    elif kind == "sublattice_sqrt3":
+        # the kagome sqrt(3) x sqrt(3) 120-degree pattern (vs q=0 above)
+        theta = (2.0 * np.pi / 3.0) * lattice.three_coloring_sqrt3
     elif kind == "marshall":
         if not lattice.is_bipartite_compatible:
             raise ValueError(

@@ -61,10 +61,12 @@ def init_walkers(
             2.0 * jax.random.bernoulli(key, 0.5, (n_walkers, n_sites)) - 1.0
         ).astype(jnp.float32)
     if sector == "sz0":
-        if n_sites % 2:
-            raise ValueError("sz0 sector needs an even number of sites")
+        # minimal-|S^z| sector: S^z = 0 for even N, +1/2 for odd N (the
+        # AFM ground-state sector either way; exchange moves preserve it —
+        # unlocks odd-site lattices like the 27-site kagome 3x3-cell grid)
+        n_up = n_sites // 2 + (n_sites % 2)
         base = jnp.concatenate(
-            [jnp.ones(n_sites // 2), -jnp.ones(n_sites // 2)]
+            [jnp.ones(n_up), -jnp.ones(n_sites - n_up)]
         ).astype(jnp.float32)
         keys = jax.random.split(key, n_walkers)
         return jax.vmap(lambda k: jax.random.permutation(k, base))(keys)

@@ -233,3 +233,46 @@ run: {n_steps: 200, seed: 0}
     e_tail = float(np.concatenate(energies[-2:]).mean())
     rel = abs(e_tail - e_ed) / abs(e_ed)
     assert rel < 5e-2, (e_tail, e_ed, rel)
+
+
+# ------------------------------------------------- sqrt(3) x sqrt(3) kagome
+def test_sqrt3_coloring_proper_and_cell_dependent():
+    lat = kagome(3, 3)
+    c = lat.three_coloring_sqrt3
+    i, j = lat.nn_bonds[:, 0], lat.nn_bonds[:, 1]
+    assert np.all(c[i] != c[j])
+    # q=0 is basis-only; sqrt3 must vary across cells at fixed basis
+    q0 = lat.three_coloring
+    assert np.all(q0[i] != q0[j])
+    basis0 = lat.coords[:, 2] == 0
+    assert len(np.unique(c[basis0])) == 3        # cell-dependent
+    assert len(np.unique(q0[basis0])) == 1       # q=0 is not
+
+
+def test_sqrt3_coloring_guards():
+    with pytest.raises(ValueError, match="divisible by 3"):
+        kagome(2, 3).three_coloring_sqrt3
+    with pytest.raises(ValueError, match="kagome-only"):
+        triangular(3).three_coloring_sqrt3
+    # open boundaries lift the torus-closure requirement
+    c = kagome(2, 2, pbc=False).three_coloring_sqrt3
+    lat = kagome(2, 2, pbc=False)
+    i, j = lat.nn_bonds[:, 0], lat.nn_bonds[:, 1]
+    assert np.all(c[i] != c[j])
+
+
+def test_uniform_state_energy_closed_form_sqrt3():
+    """Any proper 3-coloring prior turns the polarized saddle into
+    cos(120deg)/4 = -1/8 per NN bond — exact for sqrt3 too (open-boundary
+    12-site kagome keeps the enumeration small)."""
+    lat = kagome(2, 2, pbc=False)
+    ham = Heisenberg(lat, marshall=False)
+    configs = jnp.asarray(exact.all_configs(lat.n_sites), jnp.float32)
+    n_bonds = len(lat.nn_bonds)
+    biased = PhaseBias(inner=_Uniform(),
+                       half_angles=phase_half_angles("sublattice_sqrt3",
+                                                     lat))
+    vb = biased.init(jax.random.key(0), configs[:1])
+    e_bias = rayleigh(lambda p, s: log_psi_apply(biased, p, s), vb, ham,
+                      configs)
+    np.testing.assert_allclose(e_bias, -n_bonds / 8.0, rtol=1e-6)

@@ -130,8 +130,10 @@ def test_init_walkers_sector():
     assert s.shape == (32, 10)
     assert np.all(np.asarray(s).sum(axis=-1) == 0)
     assert set(np.unique(np.asarray(s))) == {-1.0, 1.0}
-    with pytest.raises(ValueError):
-        init_walkers(jax.random.key(0), 4, 7, sector="sz0")
+    # odd N: the minimal-|S^z| sector is S^z = +1/2 (sum = +1); exchange
+    # moves preserve it — unlocks odd-site lattices (27-site kagome)
+    s = init_walkers(jax.random.key(0), 16, 7, sector="sz0")
+    assert np.all(np.asarray(s).sum(axis=-1) == 1)
 
 
 def test_refresh_recomputes_logpsi(tiny_model):
