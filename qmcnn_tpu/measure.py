@@ -51,6 +51,21 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             dimer: bool = False,
             renyi2_region=None,
             chirality: bool = False):
+    # Measurement runs in f32 even when the training config computes in
+    # bf16: estimators built from amplitude RATIOS tolerate bf16, but the
+    # Lanczos third moment k3 = h3 - 3 h1 h2 + 2 h1^3 cancels ~|E|^3 down
+    # to O(var) and bf16 log-psi noise destroys it — observed on the 8x8
+    # bf16 hero (lanczos "gain" -0.52/site, violating the single-Krylov
+    # bound |gain| <= sqrt(k2) ~ 0.005/site). Params are stored f32; this
+    # only changes activation compute, i.e. a measurement-time precision
+    # upgrade of the same state.
+    if cfg.model.compute_dtype not in (None, "float32"):
+        import dataclasses as _dc
+
+        print(f"measure: forcing compute_dtype float32 "
+              f"(training used {cfg.model.compute_dtype})")
+        cfg = _dc.replace(cfg, model=_dc.replace(cfg.model,
+                                                 compute_dtype="float32"))
     sharded, params, lattice = build_sharded(cfg)
     vmc = sharded.vmc
     # with parallel tempering only the beta=1 replica is |psi|^2-distributed
@@ -345,13 +360,26 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         e1 = np.concatenate(lz_e1)
         g = np.concatenate(lz_g)
         h1, h2, h3 = moments_from_samples(
-            cplx.C(e1.real.astype(np.float32), e1.imag.astype(np.float32)),
-            cplx.C(g.real.astype(np.float32), g.imag.astype(np.float32)))
+            cplx.C(e1.real.astype(np.float64), e1.imag.astype(np.float64)),
+            cplx.C(g.real.astype(np.float64), g.imag.astype(np.float64)))
         alpha, e_lz, _ = lanczos_step(h1, h2, h3)
+        # validity guard: one Krylov step can lower the energy by at most
+        # sqrt(k2) (the 2x2 tridiagonal's min eigenvalue is >= h1 -
+        # sqrt(k2)); a bigger "gain" means the moment estimators are
+        # noise-dominated (k3's ~|E|^3 cancellation) — report it as such
+        # instead of an impossible energy
+        k2 = h2 - h1 * h1
+        bound = np.sqrt(max(k2, 0.0))
+        valid = bool(h1 - e_lz <= 1.05 * bound + 1e-12)
+        report["lanczos_valid"] = valid
         report["lanczos_alpha"] = alpha
         report["lanczos_energy"] = e_lz
         report["lanczos_energy_per_site"] = e_lz / n
         report["lanczos_gain_per_site"] = (e_lz - report["energy"]) / n
+        if not valid:
+            print(f"lanczos: NOISE-DOMINATED (gain {h1 - e_lz:.3g} > "
+                  f"sqrt(k2) {bound:.3g}); increase samples/walkers or "
+                  "check moment precision")
     return report
 
 
