@@ -16,10 +16,10 @@ timeout 4000 python -m qmcnn_tpu.measure --config configs/j1j2_8x8_gcnn_r2.yaml 
   > runs/j1j2_10x10_measure_f32.json 2> runs/j1j2_10x10_measure_f32.log
 echo "measure10-f32 rc=$?"
 # 1. depth-10 rung of the 8x8 hero, warm-started from the depth-8 best
-timeout 9000 $SUP --config configs/j1j2_8x8_gcnn_r2.yaml \
+timeout 7000 $SUP --config configs/j1j2_8x8_gcnn_r2.yaml \
   --override 'model.channels=[10,10,10,10,10,10,10,10,10,10]' \
   --override run.init_from=runs/j1j2_8x8_r3_ckpt \
-  --override optimizer.lr=0.012 --override run.n_steps=2000 \
+  --override optimizer.lr=0.012 --override run.n_steps=1500 \
   --override run.steps_per_dispatch=5 \
   --override run.csv_path=runs/j1j2_8x8_d10.csv \
   --override run.ckpt_dir=runs/j1j2_8x8_d10_ckpt --override run.ckpt_every=250 \
