@@ -15,7 +15,14 @@ timeout 4000 python -m qmcnn_tpu.measure --config configs/j1j2_8x8_gcnn_r2.yaml 
   --n-samples 3 --lanczos-step --override sampler.n_walkers=1024 \
   > runs/j1j2_10x10_measure_f32.json 2> runs/j1j2_10x10_measure_f32.log
 echo "measure10-f32 rc=$?"
-# 1. depth-10 rung of the 8x8 hero, warm-started from the depth-8 best
+# 1. heis40 ARNN rerun under the re-pointed adam recipe (fast: exact
+#    sampling at ~245k sweeps/s)
+timeout 3000 $SUP --config configs/heis40_arnn.yaml \
+  --override run.csv_path=runs/heis40_arnn2.csv \
+  --override run.ckpt_dir=runs/heis40_arnn2_ckpt --override run.ckpt_every=1000 \
+  --override run.heartbeat_path=runs/heis40_arnn2_ckpt/heartbeat
+echo "arnn40-adam rc=$?"
+# 2. depth-10 rung of the 8x8 hero, warm-started from the depth-8 best
 timeout 7000 $SUP --config configs/j1j2_8x8_gcnn_r2.yaml \
   --override 'model.channels=[10,10,10,10,10,10,10,10,10,10]' \
   --override run.init_from=runs/j1j2_8x8_r3_ckpt \
