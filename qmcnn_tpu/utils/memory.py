@@ -64,6 +64,7 @@ class ModelFootprint:
     n_parts: int          # 2 when activations are (re, im) pairs
     sym_batch: int        # internal batch blow-up (spin-flip wrapper: 2)
     fwd_window: float = _FWD_WINDOW   # live layer-buffers per part
+    bwd_param_bytes: float = 0.0      # per-sample expanded-kernel grads
 
     def fwd_bytes(self) -> float:
         """Transient bytes per config of a forward-only pass."""
@@ -71,10 +72,15 @@ class ModelFootprint:
                 * self.n_parts * self.sym_batch * 4.0)
 
     def bwd_bytes(self) -> float:
-        """Transient bytes per config of a value+grad pass (residuals for
-        every layer stay live)."""
+        """Transient bytes per config of a value+grad pass: residuals for
+        every layer stay live, plus (group convs) the per-sample gradient
+        of every layer's G-expanded kernel — the transpose of the
+        trace-time gather materializes [B, G, G, taps, Cin, Cout] buffers
+        before summing over the batch (measured: 12 x 684M f32 live on
+        the tri6x6 D6-GCNN minSR Jacobian, runs/r2_pipeline10.out)."""
         return (self.n_layers * self.n_sites * self.max_width
-                * self.n_parts * self.sym_batch * 4.0 * 2.0)
+                * self.n_parts * self.sym_batch * 4.0 * 2.0
+                + self.bwd_param_bytes)
 
 
 def model_footprint(cfg, n_sites: int) -> ModelFootprint:
@@ -129,9 +135,31 @@ def model_footprint(cfg, n_sites: int) -> ModelFootprint:
     window = _FWD_WINDOW
     if m.kind in ("cnn", "gcnn") and m.complex_params:
         window = 4.0
+    bwd_param = 0.0
+    if m.kind == "gcnn":
+        # per-sample expanded-kernel gradients (see bwd_bytes docstring):
+        # sum over layers of G_in * G_out * taps * Cin * Cout floats —
+        # the lift layer has G_in = 1. Triangular star kernels carry
+        # 1 + 3r(r+1) taps (r = (k-1)/2: hexagonal shells), square k^2.
+        tri = getattr(cfg.lattice, "geometry", "hypercubic") == "triangular"
+        g = 12 if tri else 8
+        ksz = int(getattr(m, "kernel_size", 3) or 3)
+        if tri:
+            r = max(1, (ksz - 1) // 2)
+            taps = 1 + 3 * r * (r + 1)
+        else:
+            taps = ksz * ksz
+        floats = 0.0
+        cin = 1
+        for cout in channels:
+            g_in = 1 if cin == 1 else g
+            floats += g_in * g * taps * cin * cout
+            cin = cout
+        # 1.5: measured liveness beyond one buffer per (layer, part)
+        bwd_param = floats * 4.0 * n_parts * 1.5
     return ModelFootprint(n_sites=n_sites, max_width=width,
                           n_layers=n_layers, n_parts=n_parts, sym_batch=sym,
-                          fwd_window=window)
+                          fwd_window=window, bwd_param_bytes=bwd_param)
 
 
 def _largest_pow2_divisor_leq(m: int, target: float) -> int:
