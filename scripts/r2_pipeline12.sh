@@ -3,6 +3,18 @@ set -x
 cd /root/repo
 while kill -0 $(cat /tmp/p11.pid) 2>/dev/null; do sleep 60; done
 SUP="python -m qmcnn_tpu.supervise --stall-timeout 600 --startup-timeout 3000 --max-restarts 2 --device-wait 7200"
+# tri6x6 D6-GCNN hero rerun (3rd attempt: E_loc chunk 256 + jacobian
+# chunk 512 from the fixed estimator; pipeline-10's retry predated the
+# jacobian fix)
+timeout 8000 $SUP --config configs/tri6x6_tgcnn.yaml \
+  --override run.csv_path=runs/tri6x6_tgcnn.csv \
+  --override run.ckpt_dir=runs/tri6x6_tgcnn_ckpt --override run.ckpt_every=500 \
+  --override run.heartbeat_path=runs/tri6x6_tgcnn_ckpt/heartbeat
+echo "tgcnn rc=$?"
+timeout 3000 python -m qmcnn_tpu.measure --config configs/tri6x6_tgcnn.yaml \
+  --ckpt-dir runs/tri6x6_tgcnn_ckpt --n-samples 6 --chirality \
+  --override sampler.n_walkers=512 > runs/tri6x6_tgcnn_measure.json 2> runs/tri6x6_tgcnn_measure.log
+echo "measure-tri rc=$?"
 # kagome 27-site physics A/B: sqrt3 prior vs q=0 prior (1200 steps each —
 # the 18-site A/B separated the priors by step 300)
 timeout 6500 $SUP --config configs/kagome3x3_heis.yaml \
