@@ -105,11 +105,14 @@ run: {n_steps: 400, seed: 0}
 
 
 def test_builder_guards_triangular():
+    # model.kind gcnn on a triangular lattice routes to the D6 TriGCNN
+    # (models/tgcnn.py), which needs a square torus — the 3x4 cfg here
+    # must be refused with ITS message, not the old C4v refusal
     cfg = _tri_cfg()
     import dataclasses
     bad = dataclasses.replace(cfg, model=dataclasses.replace(
         cfg.model, kind="gcnn"))
-    with pytest.raises(ValueError, match="C4v"):
+    with pytest.raises(ValueError, match="square 2D torus"):
         build(bad)
     bad2 = dataclasses.replace(cfg, hamiltonian=dataclasses.replace(
         cfg.hamiltonian, marshall=True))
