@@ -521,6 +521,7 @@ def build(cfg: Config, axis_name: Optional[str] = None
         chunk_size=chunk_size,
         penalty_states=penalty_states,
         penalty_beta=cfg.optimizer.orth_beta,
+        ema_decay=cfg.optimizer.ema_decay,
     )
     # Preflight HBM sanity: a device OOM on the tunneled TPU hard-crashes
     # the worker (no RESOURCE_EXHAUSTED) and can wedge the chip for over an

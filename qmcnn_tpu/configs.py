@@ -170,6 +170,15 @@ class OptimizerConfig:
     #: orthogonal to every psi_k (the next excited state in the sector).
     orthogonalize_to: Optional[List[str]] = None
     orth_beta: float = 2.0
+    #: Polyak/EMA parameter averaging: ema <- d*ema + (1-d)*params after
+    #: every step (0 = off). Averages out the O(1/sqrt(M)) MC gradient
+    #: noise over ~1/(1-d) steps of the converged tail; evaluate the
+    #: averaged state with ``measure --ema``. Choose 1/(1-d) well below
+    #: the tail length (e.g. 0.995 for a >=1000-step tail). Enabling it
+    #: adds a params-sized pytree to TrainState/checkpoints (pre-EMA
+    #: checkpoints stay loadable only with ema_decay=0; warm-start via
+    #: run.init_from instead when turning it on for an existing state).
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)

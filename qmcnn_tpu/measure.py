@@ -50,7 +50,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             total_spin: bool = False,
             dimer: bool = False,
             renyi2_region=None,
-            chirality: bool = False):
+            chirality: bool = False,
+            use_ema: bool = False):
     # Measurement runs in f32 even when the training config computes in
     # bf16: estimators built from amplitude RATIOS tolerate bf16, but the
     # Lanczos third moment k3 = h3 - 3 h1 h2 + 2 h1^3 cancels ~|E|^3 down
@@ -88,10 +89,22 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
               "restoring params only and re-thermalizing fresh walkers")
         from qmcnn_tpu.utils.transfer import warm_start
 
-        params = warm_start(params, ckpt_dir)
+        params = warm_start(params, ckpt_dir,
+                            field="ema" if use_ema else "params")
         state = sharded.init_state(jax.random.fold_in(key, 0),
                                    cfg.sampler.n_walkers, params)
         therm_sweeps = max(therm_sweeps, 50)
+        use_ema = False  # already loaded the averaged leaves as params
+    if use_ema:
+        # evaluate the Polyak average instead of the last iterate; the
+        # thermalize below refreshes every cached log-amplitude, so the
+        # swap is complete (all estimators read state.params)
+        if state.ema is None:
+            raise ValueError(
+                "--ema: checkpoint/config has no EMA state (train with "
+                "optimizer.ema_decay > 0)")
+        state = state._replace(params=state.ema)
+        print("measuring the EMA (Polyak-averaged) parameters")
     state = sharded.thermalize(state, jax.random.fold_in(key, 1),
                                n_sweeps=therm_sweeps)
 
@@ -297,6 +310,7 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
     corr = corr_acc / n_samples
     report = {
         "step": int(loaded_step) if loaded_step is not None else 0,
+        "ema": bool(use_ema),
         "energy": float(np.mean(e_trace)),
         "energy_err": binned_stderr(np.asarray(e_trace)),
         "energy_per_site": float(np.mean(e_trace)) / n,
@@ -416,6 +430,10 @@ def main(argv=None):
                         "slice 'a:b', or a comma list of sites; repeat the "
                         "flag for an entanglement-scaling scan (all "
                         "regions measured in one pass)")
+    p.add_argument("--ema", action="store_true",
+                   help="measure the Polyak/EMA-averaged parameters saved "
+                        "by an optimizer.ema_decay run instead of the last "
+                        "iterate (averages out per-step MC gradient noise)")
     p.add_argument("--override", action="append", default=[])
     args = p.parse_args(argv)
     cfg = cfglib.load(args.config, tuple(args.override))
@@ -427,7 +445,8 @@ def main(argv=None):
                      total_spin=args.total_spin,
                      dimer=args.dimer,
                      renyi2_region=args.renyi2,
-                     chirality=args.chirality)
+                     chirality=args.chirality,
+                     use_ema=args.ema)
     print(json.dumps({k: v for k, v in report.items() if k != "szsz_corr"},
                      indent=2))
     print("szsz_corr:", np.array2string(np.asarray(report["szsz_corr"]),

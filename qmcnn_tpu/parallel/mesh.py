@@ -81,6 +81,7 @@ def _state_specs(state: TrainState) -> TrainState:
         walkers=_walker_specs(),
         step=P(),
         sr_aux=rep(state.sr_aux),  # replicated [P] (None when no SPRING)
+        ema=rep(state.ema),        # replicated params copy (None = off)
     )
 
 

@@ -43,12 +43,14 @@ def _flatten(tree) -> dict:
             for path, leaf in leaves}
 
 
-def load_checkpoint_params(directory: str, step: Optional[int] = None) -> Any:
-    """Read the ``params`` subtree of a saved TrainState as host arrays.
+def load_checkpoint_params(directory: str, step: Optional[int] = None,
+                           field: str = "params") -> Any:
+    """Read a params-shaped subtree of a saved TrainState as host arrays.
 
     Restores without an abstract template (pure nested containers), so it
     works across configs whose TrainState structures differ — only the
-    params subtree is returned.
+    requested subtree is returned. ``field`` is ``"params"`` (default) or
+    ``"ema"`` (the Polyak average of an ema_decay run).
     """
     directory = os.path.abspath(directory)
     options = ocp.CheckpointManagerOptions(create=False)
@@ -63,14 +65,25 @@ def load_checkpoint_params(directory: str, step: Optional[int] = None) -> Any:
         mgr.close()
     # TrainState is a NamedTuple; StandardRestore without a template yields
     # nested dicts/lists — accept either container form.
-    if isinstance(raw, dict) and "params" in raw:
-        return raw["params"]
-    if hasattr(raw, "params"):
-        return raw.params
-    if isinstance(raw, (list, tuple)):  # positional: params is field 0
-        return raw[0]
-    raise ValueError(
-        f"unrecognized checkpoint structure in {directory}: {type(raw)}")
+    from qmcnn_tpu.vmc import TrainState
+
+    out = None
+    if isinstance(raw, dict) and field in raw:
+        out = raw[field]
+    elif hasattr(raw, field):
+        out = getattr(raw, field)
+    elif isinstance(raw, (list, tuple)):  # positional TrainState fields
+        idx = TrainState._fields.index(field)
+        out = raw[idx] if idx < len(raw) else None
+    else:
+        raise ValueError(
+            f"unrecognized checkpoint structure in {directory}: {type(raw)}")
+    if out is None:
+        raise ValueError(
+            f"checkpoint in {directory} has no {field!r} subtree"
+            + (" — was the run trained with optimizer.ema_decay > 0?"
+               if field == "ema" else ""))
+    return out
 
 
 def transfer_params(fresh: Any, source: Any) -> Tuple[Any, int, int]:
@@ -94,11 +107,11 @@ def transfer_params(fresh: Any, source: Any) -> Tuple[Any, int, int]:
 
 
 def warm_start(fresh_params: Any, directory: str,
-               step: Optional[int] = None) -> Any:
+               step: Optional[int] = None, field: str = "params") -> Any:
     """Load + transfer, with a one-line report."""
-    source = load_checkpoint_params(directory, step)
+    source = load_checkpoint_params(directory, step, field=field)
     merged, n_copied, n_fresh = transfer_params(fresh_params, source)
-    print(f"warm-start from {directory}: {n_copied} param leaves "
+    print(f"warm-start from {directory} ({field}): {n_copied} param leaves "
           f"transferred, {n_fresh} kept at fresh init")
     if n_copied == 0:
         raise ValueError(

@@ -55,6 +55,14 @@ class TrainState(NamedTuple):
     #: natural gradient [P]. None (an empty pytree slot — absent from
     #: checkpoints, so pre-SPRING checkpoints stay loadable) when unused.
     sr_aux: Any = None
+    #: Polyak/EMA parameter average (optimizer.ema_decay > 0): a params-
+    #: shaped pytree updated as ema <- d*ema + (1-d)*params after every
+    #: optimizer step. The EMA state averages out the O(1/sqrt(M)) MC
+    #: noise that SGD/SR injects into the parameters each step — the
+    #: standard variational tail-averaging trick. Evaluated via
+    #: ``measure --ema``. None (empty subtree, checkpoint-compatible with
+    #: pre-EMA runs) when disabled.
+    ema: Any = None
 
 
 class StepMetrics(NamedTuple):
@@ -118,6 +126,8 @@ class VMC:
     #: (choose beta above the expected energy gap)
     penalty_states: tuple = ()
     penalty_beta: float = 0.0
+    #: Polyak/EMA averaging of params (0 = off); see TrainState.ema
+    ema_decay: float = 0.0
 
     def init_state(self, key: Array, n_walkers: int, params) -> TrainState:
         walkers = self.sampler.init_state(params, key, n_walkers)
@@ -125,12 +135,16 @@ class VMC:
         if self.sr is not None and getattr(self.sr, "momentum", 0.0) > 0:
             flat, _ = jax.flatten_util.ravel_pytree(params)
             sr_aux = jnp.zeros_like(flat)
+        ema = None
+        if self.ema_decay > 0:
+            ema = jax.tree_util.tree_map(jnp.array, params)
         return TrainState(
             params=params,
             opt_state=self.optimizer.init(params),
             walkers=walkers,
             step=jnp.zeros((), jnp.int32),
             sr_aux=sr_aux,
+            ema=ema,
         )
 
     def step(self, state: TrainState, key: Array, walker_ids: Array):
@@ -171,6 +185,11 @@ class VMC:
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    params)
         params = optax.apply_updates(params, updates)
+        ema = state.ema
+        if self.ema_decay > 0 and ema is not None:
+            d = self.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, ema, params)
         acc = pmean(MetropolisSampler.acceptance_rate(walkers),
                     self.axis_name)
         gnorm = optax.global_norm(grads)
@@ -182,7 +201,7 @@ class VMC:
         )
         new_state = TrainState(params=params, opt_state=opt_state,
                                walkers=walkers, step=state.step + 1,
-                               sr_aux=sr_aux)
+                               sr_aux=sr_aux, ema=ema)
         return new_state, metrics
 
     def thermalize(self, state: TrainState, key: Array, walker_ids: Array,
