@@ -125,6 +125,7 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
     # forward-batch budget the train step is known to fit: chunk * K
     fwd_budget = (le_chunk or m_walkers) * max(1, vmc.ham.n_conn)
     e_trace, m_trace, mst_trace, ss_trace = [], [], [], []
+    mst4_trace = []
     # on a 1-site basis corr is C(r) [n_sites]; with a basis it is the
     # sublattice-resolved C_ab(r) flattened to [basis^2 * n_cells]
     on_grid = lattice.basis == 1
@@ -204,9 +205,10 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             dcorr, dmean = observables.dimer_correlation(walkers.s, lattice)
         else:
             dcorr, dmean = jnp.zeros((n,)), jnp.zeros(())
+        mst2, mst4 = observables.staggered_moments(walkers.s, lattice)
         return (e.mean().re,
                 observables.magnetization(walkers.s),
-                observables.staggered_magnetization_sq(walkers.s, lattice),
+                mst2, mst4,
                 corr, ss_nn, dcorr, dmean)
 
     lz_e1, lz_g = [], []
@@ -256,10 +258,11 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
     for i in range(n_samples):
         state = sharded.thermalize(state, jax.random.fold_in(key, 100 + i),
                                    n_sweeps=sweeps_between)
-        e, m, mst, corr, ss_nn, dcorr, dmean = measure_once(state)
+        e, m, mst, mst4, corr, ss_nn, dcorr, dmean = measure_once(state)
         e_trace.append(float(e))
         m_trace.append(float(m))
         mst_trace.append(float(mst))
+        mst4_trace.append(float(mst4))
         ss_trace.append(float(ss_nn))
         corr_acc += np.asarray(corr)
         dimer_acc += np.asarray(dcorr)
@@ -316,6 +319,9 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         "energy_per_site": float(np.mean(e_trace)) / n,
         "magnetization": float(np.mean(m_trace)),
         "staggered_m2": float(np.mean(mst_trace)),
+        "staggered_m4": float(np.mean(mst4_trace)),
+        "binder_cumulant": observables.binder_cumulant(
+            float(np.mean(mst_trace)), float(np.mean(mst4_trace))),
         "szsz_corr": corr.tolist(),
     }
     if on_grid:
@@ -323,6 +329,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         report["spin_spin_nn"] = float(np.mean(ss_trace))
         report["structure_factor_peak"] = float(sq.max())
         report["structure_factor_peak_q_index"] = int(sq.argmax())
+        report["correlation_length"] = observables.correlation_length(
+            corr, lattice)
     else:
         # szsz_corr holds the sublattice-resolved C_ab(r) flattened from
         # [basis, basis, n_cells]

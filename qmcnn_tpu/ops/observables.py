@@ -132,6 +132,59 @@ def staggered_magnetization_sq(s: Array, lattice: Lattice,
     return pmean((m_st * m_st).mean(), axis_name)
 
 
+def staggered_moments(s: Array, lattice: Lattice,
+                      axis_name: Optional[str] = None):
+    """(<M_st^2>, <M_st^4>) — the moments entering the Binder cumulant.
+
+    U_4 = 1 - <M^4>/(3 <M^2>^2) is the standard dimensionless
+    order-parameter diagnostic: 2/3 for a saturated (two-delta) ordered
+    distribution, 0 for Gaussian disorder, and its finite-size crossing
+    locates a transition without knowing critical exponents. Combine the
+    returned moments ACROSS samples first (means of m2 and m4 separately),
+    then form the ratio — see :func:`binder_cumulant`.
+    """
+    signs = jnp.asarray(1.0 - 2.0 * lattice.sublattice_mask.astype(np.float32))
+    m_st = (s * signs[None, :] / 2.0).mean(axis=-1)
+    m2 = m_st * m_st
+    return pmean(m2.mean(), axis_name), pmean((m2 * m2).mean(), axis_name)
+
+
+def binder_cumulant(m2_mean: float, m4_mean: float) -> float:
+    """U_4 = 1 - <M^4> / (3 <M^2>^2) from sample-averaged moments."""
+    if m2_mean <= 0:
+        return float("nan")
+    return float(1.0 - m4_mean / (3.0 * m2_mean * m2_mean))
+
+
+def correlation_length(corr: Array, lattice: Lattice,
+                       q_peak=None) -> float:
+    """Second-moment correlation length from the structure factor
+    (host-side; Cooper-Frey-Hohenberg estimator).
+
+        xi = 1 / (2 sin(pi / L)) * sqrt(S(Q) / S(Q + dq) - 1)
+
+    with Q the ordering vector (default: the S(q) peak) and dq the
+    smallest nonzero momentum 2*pi/L along the first axis. On a finite
+    lattice xi saturates near L when the state is long-range ordered
+    (S(Q+dq) -> 0 gives +inf here — saturated order) and is ~0 for
+    delta-correlated (flat-S) states; the standard use is xi/L crossings
+    across system sizes.
+    """
+    _require_site_grid(lattice, "correlation_length")
+    sq = structure_factor(corr, lattice)
+    if q_peak is None:
+        q_peak = np.unravel_index(int(np.argmax(sq)), sq.shape)
+    q_peak = tuple(int(q) % L for q, L in zip(q_peak, lattice.shape))
+    neighbor = ((q_peak[0] + 1) % lattice.shape[0],) + q_peak[1:]
+    s_peak = float(sq[q_peak])
+    s_next = float(sq[neighbor])
+    L = lattice.shape[0]
+    if s_next <= 0 or s_peak <= s_next:
+        # saturated order (ratio -> inf) or no peak structure (ratio <= 1)
+        return float("inf") if s_next < s_peak else 0.0
+    return float(np.sqrt(s_peak / s_next - 1.0) / (2.0 * np.sin(np.pi / L)))
+
+
 def spin_spin_connected(lattice: Lattice, displacement: int,
                         marshall: bool = False):
     """connected_fn for the OFF-DIAGONAL part of (1/N) sum_i S_i . S_{i+r}.

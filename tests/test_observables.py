@@ -454,3 +454,71 @@ def test_scalar_chirality_exact_enumeration():
         if not complex_params:
             np.testing.assert_allclose(got_re, 0.0, atol=1e-10)
             np.testing.assert_allclose(want.real, 0.0, atol=1e-10)
+
+
+def test_binder_cumulant_limits():
+    """Saturated two-delta order -> U4 = 2/3; Gaussian disorder -> U4 ~ 0."""
+    lat = chain(8)
+    neel = jnp.asarray([[1.0, -1.0] * 4, [-1.0, 1.0] * 4])
+    m2, m4 = observables.staggered_moments(neel, lat)
+    np.testing.assert_allclose(float(m2), 0.25)
+    np.testing.assert_allclose(float(m4), 0.0625)
+    np.testing.assert_allclose(
+        observables.binder_cumulant(float(m2), float(m4)), 2.0 / 3.0)
+
+    # Gaussian limit: m_st ~ N(0, sig) -> <m4> = 3 <m2>^2 -> U4 -> 0.
+    # Feed the formula exact Gaussian moments (the estimator itself is
+    # exercised above; here we pin the normalization convention).
+    assert abs(observables.binder_cumulant(0.01, 3 * 0.01**2)) < 1e-12
+    # random spins on a larger batch: U4 should be near 0, far below 2/3
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.choice([-1.0, 1.0], size=(4096, 8)))
+    m2r, m4r = observables.staggered_moments(s, lat)
+    u4 = observables.binder_cumulant(float(m2r), float(m4r))
+    assert abs(u4) < 0.15
+
+
+def test_staggered_moments_m2_matches_existing_estimator():
+    lat = square(4, 4)
+    rng = np.random.default_rng(1)
+    s = jnp.asarray(rng.choice([-1.0, 1.0], size=(64, 16)))
+    m2, _ = observables.staggered_moments(s, lat)
+    np.testing.assert_allclose(
+        float(m2), float(observables.staggered_magnetization_sq(s, lat)),
+        rtol=1e-6)
+
+
+def test_correlation_length_limits_and_formula():
+    lat = chain(8)
+    # delta-correlated: S(q) flat -> ratio 1 -> xi = 0
+    c_delta = np.zeros(8)
+    c_delta[0] = 0.25
+    assert observables.correlation_length(c_delta, lat) == 0.0
+    # perfect Neel: S concentrated at Q=pi -> neighbor 0 -> saturated inf
+    c_neel = 0.25 * (-1.0) ** np.arange(8)
+    assert observables.correlation_length(c_neel, lat) == float("inf")
+    # exact formula check: synthesize C(r) from a chosen S(q) with known
+    # peak/neighbor values via inverse FFT (S real, even in q)
+    L = 8
+    sq = np.ones(L)
+    q_peak = L // 2  # pi
+    sq[q_peak] = 10.0
+    sq[(q_peak + 1) % L] = sq[(q_peak - 1) % L] = 4.0
+    corr = np.real(np.fft.ifft(sq))
+    xi = observables.correlation_length(corr, lat)
+    want = np.sqrt(10.0 / 4.0 - 1.0) / (2.0 * np.sin(np.pi / L))
+    np.testing.assert_allclose(xi, want, rtol=1e-6)
+
+
+def test_correlation_length_2d_peak_at_pi_pi():
+    lat = square(4, 4)
+    # staggered exponential-like correlations: ordered enough to peak at
+    # (pi, pi) but not saturated -> finite positive xi
+    coords = lat.coords
+    r = np.minimum(coords, np.asarray(lat.shape) - coords)  # PBC distance
+    decay = np.exp(-np.abs(r).sum(axis=1) / 1.5)
+    c = 0.25 * (-1.0) ** coords.sum(axis=1) * decay
+    sq = observables.structure_factor(c, lat)
+    assert np.unravel_index(sq.argmax(), sq.shape) == (2, 2)  # q=(pi,pi)
+    xi = observables.correlation_length(c, lat)
+    assert 0.0 < xi < 4.0
