@@ -65,7 +65,7 @@ def evolve(cfg, mode: str = "imag", dt: float = 0.01, n_steps: int = 100,
            init_from: Optional[str] = None, init_zero: bool = False,
            init_perturb: float = 1e-3,
            sector: str = "auto", csv_path: Optional[str] = None,
-           log_every: int = 1):
+           log_every: int = 1, corr_csv: Optional[str] = None):
     """Run the evolution; returns (final params, logger)."""
     lattice = build_lattice(cfg)
     ham = build_hamiltonian(cfg, lattice)
@@ -121,6 +121,32 @@ def evolve(cfg, mode: str = "imag", dt: float = 0.01, n_steps: int = 100,
         ms = (s * stag[None, :]).mean(axis=1)
         out["stag_m2"] = (w * ms * ms).sum()
         return out
+
+    # --corr-csv: track the full equal-time C(r, t) = <S^z_0 S^z_r>(t)
+    # along the evolution (its FFT is S(q, t) — the standard light-cone /
+    # order-melting diagnostic after a quench). Weighted so the same code
+    # serves fullsum (Born weights) and MC (uniform) sampling.
+    if corr_csv is not None and lattice.basis != 1:
+        raise ValueError("--corr-csv needs a 1-site-basis lattice")
+
+    def weighted_corr(s, w):
+        m = s.shape[0]
+        sz = s.reshape(m, *lattice.shape) / 2.0
+        axes = tuple(range(1, 1 + lattice.ndim))
+        cs = []
+        for r in range(lattice.n_sites):
+            shift = tuple(int(c) for c in lattice.coords[r])
+            rolled = jnp.roll(sz, shift, axis=axes)
+            cs.append(((sz * rolled).reshape(m, -1).mean(axis=1) * w).sum())
+        return jnp.stack(cs)
+
+    if corr_csv is not None:
+        _orig_diag_obs = diag_obs
+
+        def diag_obs(s, w):  # noqa: F811 — wrap to add the correlation row
+            out = _orig_diag_obs(s, w)
+            out["_corr"] = weighted_corr(s, w)
+            return out
 
     sz_zero = (sector == "sz0" if sector != "auto"
                else cfg.hamiltonian.kind in ("heisenberg", "j1j2"))
@@ -188,11 +214,23 @@ def evolve(cfg, mode: str = "imag", dt: float = 0.01, n_steps: int = 100,
         raise ValueError(f"unknown sampling {sampling!r}")
 
     logger = MetricsLogger(csv_path=csv_path, print_every=log_every)
+    corr_file = None
+    if corr_csv is not None:
+        corr_file = open(corr_csv, "w")
+        corr_file.write("t," + ",".join(
+            f"c{r}" for r in range(lattice.n_sites)) + "\n")
     key = jax.random.key(cfg.run.seed + 3)
     t0 = time.perf_counter()
     for it in range(n_steps):
         params, walkers, r, obs = run_step(params, walkers,
                                            jax.random.fold_in(key, it))
+        corr_t = obs.pop("_corr", None)
+        if corr_file is not None and (
+                (it + 1) % log_every == 0 or it + 1 == n_steps):
+            vals = np.asarray(corr_t)
+            corr_file.write(",".join(
+                [f"{(it + 1) * dt:.6f}"] + [f"{v:.8f}" for v in vals]) + "\n")
+            corr_file.flush()
         if (it + 1) % log_every == 0 or it + 1 == n_steps:
             row = {
                 "t": (it + 1) * dt,
@@ -208,6 +246,8 @@ def evolve(cfg, mode: str = "imag", dt: float = 0.01, n_steps: int = 100,
             for k, v in obs.items():
                 row[k] = float(np.asarray(v))
             logger.log(it + 1, row)
+    if corr_file is not None:
+        corr_file.close()
     logger.close()
     return params, logger
 
@@ -236,6 +276,10 @@ def main(argv=None):
     p.add_argument("--sector", choices=["auto", "sz0", "free"],
                    default="auto", help="fullsum basis sector")
     p.add_argument("--csv", dest="csv_path")
+    p.add_argument("--corr-csv", dest="corr_csv",
+                   help="also log the full equal-time C(r, t) correlation "
+                        "function to this CSV (FFT -> S(q, t): light-cone "
+                        "spreading / order melting after a quench)")
     p.add_argument("--log-every", type=int, default=1)
     args = p.parse_args(argv)
     cfg = cfglib.load(args.config, tuple(args.override))
@@ -247,7 +291,7 @@ def main(argv=None):
            init_from=args.init_from, init_zero=args.init_zero,
            init_perturb=args.init_perturb,
            sector=args.sector, csv_path=args.csv_path,
-           log_every=args.log_every)
+           log_every=args.log_every, corr_csv=args.corr_csv)
 
 
 if __name__ == "__main__":

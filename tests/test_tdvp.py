@@ -234,3 +234,63 @@ def test_evolve_mc_smoke():
     e0 = exact.ground_energy(exact.sparse_tfim(6, lat.nn_bonds, h=1.0))
     # loose: MC noise + short run; just demand real progress toward E0 < 0
     assert e_tail < 0.6 * e0
+
+
+def test_evolve_corr_csv_tracks_correlations(tmp_path):
+    """--corr-csv: C(r, t) rows with exact invariants — C(0) = 1/4 (sz^2
+    is constant), translation-averaged symmetry C(r) = C(-r), and under
+    full-sum Born weights the t->0 row must match a direct enumeration of
+    <psi|S^z_0 S^z_r|psi> / <psi|psi> for the initial state."""
+    from qmcnn_tpu import configs as cfglib
+    from qmcnn_tpu.evolve import evolve
+    from qmcnn_tpu.models.cnn import log_psi_apply
+    from qmcnn_tpu.builder import build_model
+
+    n = 6
+    cfg = cfglib.Config(
+        lattice=cfglib.LatticeConfig(shape=(n,)),
+        model=cfglib.ModelConfig(kind="rbm", rbm_alpha=2,
+                                 rbm_tie_translations=False,
+                                 param_scale=0.05),
+        hamiltonian=cfglib.HamiltonianConfig(kind="tfim", h=1.0),
+        run=cfglib.RunConfig(seed=1, chunk_size=None),
+    )
+    corr_csv = str(tmp_path / "corr.csv")
+    evolve(cfg, mode="imag", dt=0.02, n_steps=3, solver="dense",
+           integrator="euler", sampling="fullsum", corr_csv=corr_csv,
+           log_every=1)
+    rows = np.genfromtxt(corr_csv, delimiter=",", names=True)
+    assert rows.shape == (3,)
+    cols = [f"c{r}" for r in range(n)]
+    # C(0) = 1/4 on every row
+    np.testing.assert_allclose(rows["c0"], 0.25, atol=1e-6)
+    # PBC translation-averaged symmetry: C(r) == C(N - r)
+    for r in range(1, n):
+        np.testing.assert_allclose(rows[cols[r]], rows[cols[n - r]],
+                                   atol=1e-6)
+
+    # oracle for the first logged row: observables are evaluated on the
+    # PRE-update state, so row 0 is the seed-1 initial state itself —
+    # exact Born-weighted enumeration, no stepping
+    lat = chain(n)
+    model = build_model(cfg, lat)
+    params = jax.tree_util.tree_map(
+        np.asarray,
+        model.init(jax.random.key(cfg.run.seed),
+                   jnp.ones((1, n), jnp.float32)))
+    from qmcnn_tpu.ops.tdvp import all_states, state_weights
+
+    def lp(p, s):
+        return log_psi_apply(model, p, s)
+
+    states = jnp.asarray(all_states(n, sz_zero=False))
+    w1 = np.asarray(state_weights(lp, params, states))
+    s_np = np.asarray(states) / 2.0
+    want = np.zeros(n)
+    for r in range(n):
+        acc = 0.0
+        for i in range(n):
+            acc += (w1 * s_np[:, i] * s_np[:, (i + r) % n]).sum()
+        want[r] = acc / n
+    got = np.array([rows[c][0] for c in cols])
+    np.testing.assert_allclose(got, want, atol=1e-5)
