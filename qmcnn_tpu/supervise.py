@@ -154,6 +154,7 @@ class Supervisor:
             child = subprocess.Popen(self.argv, start_new_session=True)
             started = time.monotonic()
             seen_beat = False
+            last_hb = None
             wedged = False
             while True:
                 rc = child.poll()
@@ -162,16 +163,30 @@ class Supervisor:
                 time.sleep(self.poll_s)
                 hb = read_heartbeat(self.heartbeat_path)
                 now = time.monotonic()
+                if hb is None and last_hb is not None:
+                    # A transient unreadable/missing file after beats have
+                    # been seen must NOT re-enter the startup branch (a
+                    # glitchy read there past startup_timeout would kill a
+                    # live child instantly); judge staleness from the last
+                    # known beat instead.
+                    hb = last_hb
                 if hb is None:
                     if now - started > self.startup_timeout:
+                        exists = os.path.exists(self.heartbeat_path)
                         self.log(f"supervise: no first heartbeat within "
                                  f"{self.startup_timeout:.0f}s — killing "
-                                 f"pid {child.pid}")
+                                 f"pid {child.pid} (heartbeat file "
+                                 f"{'exists but unreadable' if exists else 'absent'}: "
+                                 f"{self.heartbeat_path})")
                         self._kill(child)
                         wedged = True
                         break
                     continue
+                if not seen_beat:
+                    self.log(f"supervise: first heartbeat at step {hb[0]} "
+                             f"({now - started:.0f}s after launch)")
                 seen_beat = True
+                last_hb = hb
                 step, mtime = hb
                 stale = time.time() - mtime
                 if stale > self.stall_timeout:

@@ -55,13 +55,19 @@ def _heartbeat(path: Optional[str], step: int) -> None:
 
     Rewritten after every completed dispatch; the supervisor watches the
     mtime and restarts the run (from its checkpoint) if it goes stale.
-    Best-effort — a failed write must never kill training.
+    Best-effort — a failed write must never kill training. Atomic
+    (tmp + rename): the supervisor polls concurrently, and an open("w")
+    truncation window would let it read an empty file and mistake a live
+    child for one that never beat (observed once on the p15b hero leg —
+    killed after 50 min of completed dispatches as "no first heartbeat").
     """
     if not path:
         return
     try:
-        with open(path, "w") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             f.write(f"{step} {time.time()}\n")
+        os.replace(tmp, path)
     except OSError:
         pass
 

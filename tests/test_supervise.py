@@ -180,3 +180,20 @@ def test_read_heartbeat_robust(tmp_path):
     bad = tmp_path / "bad"
     bad.write_text("not-a-step\n")
     assert read_heartbeat(str(bad)) is None
+
+
+def test_transient_heartbeat_glitch_does_not_kill(tmp_path):
+    """A momentarily missing/unreadable heartbeat AFTER beats have been
+    seen must be judged by the last known beat, not the startup branch
+    (which past startup_timeout would kill a live child instantly —
+    observed on the p15b hero leg). max_restarts=0: any kill fails."""
+    rc, hb = _run(tmp_path, """
+        beat(1)
+        time.sleep(15)    # get well past startup_timeout
+        os.remove(hb)     # the glitch: several polls see no file
+        time.sleep(3)
+        beat(2)
+        sys.exit(0)
+    """, stall_timeout=60, startup_timeout=10.0, max_restarts=0)
+    assert rc == 0
+    assert read_heartbeat(hb)[0] == 2
