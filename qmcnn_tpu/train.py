@@ -80,13 +80,14 @@ def train(cfg, ckpt_manager=None, logger=None):
     # under multi-host every process computes identical (pmean-replicated)
     # metrics; only process 0 writes/prints them
     is_main = jax.process_index() == 0
+    resuming = (ckpt_manager is not None
+                and ckpt_manager.latest_step() is not None)
     logger = logger or MetricsLogger(
         csv_path=cfg.run.csv_path if is_main else None,
         print_every=cfg.run.log_every if is_main else 0,
-        tensorboard_dir=cfg.run.tensorboard_dir if is_main else None)
-
-    resuming = (ckpt_manager is not None
-                and ckpt_manager.latest_step() is not None)
+        tensorboard_dir=cfg.run.tensorboard_dir if is_main else None,
+        # a supervisor restart must not truncate the earlier attempt's CSV
+        append=resuming)
     if cfg.run.init_from and not resuming:
         from qmcnn_tpu.utils.transfer import warm_start
 

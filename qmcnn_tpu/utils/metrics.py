@@ -53,8 +53,13 @@ class MetricsLogger:
 
     def __init__(self, csv_path: Optional[str] = None,
                  print_every: int = 10, stream=None,
-                 tensorboard_dir: Optional[str] = None):
+                 tensorboard_dir: Optional[str] = None,
+                 append: bool = False):
         self.csv_path = csv_path
+        #: continue an existing CSV instead of truncating it — set on
+        #: checkpoint resume so a supervisor restart doesn't discard the
+        #: earlier attempt's rows (columns follow the existing header)
+        self.append = append
         self.print_every = print_every
         self.stream = stream or sys.stdout
         self._writer = None
@@ -81,11 +86,19 @@ class MetricsLogger:
             if self._writer is None:
                 os.makedirs(os.path.dirname(self.csv_path) or ".",
                             exist_ok=True)
-                self._file = open(self.csv_path, "w", newline="")
-                self._fields = list(row)
+                prior_fields = None
+                if self.append and os.path.exists(self.csv_path):
+                    with open(self.csv_path, newline="") as f:
+                        header = f.readline().strip()
+                    if header:
+                        prior_fields = header.split(",")
+                self._file = open(self.csv_path,
+                                  "a" if prior_fields else "w", newline="")
+                self._fields = prior_fields or list(row)
                 self._writer = csv.DictWriter(self._file,
                                               fieldnames=self._fields)
-                self._writer.writeheader()
+                if not prior_fields:
+                    self._writer.writeheader()
             self._writer.writerow({k: row.get(k) for k in self._fields})
             self._file.flush()
         if self._tb is not None:

@@ -157,3 +157,34 @@ def test_analyze_robust_tail_excludes_excursions(tmp_path):
     assert abs(robust["energy_var_mean"] - 0.1) < 0.01
     assert abs(plain["energy"] + 10.0) > 0.1  # the excursions did bite
     assert robust["energy_err"] < plain["energy_err"]
+
+
+def test_logger_append_resumes_csv(tmp_path):
+    """append=True continues an existing CSV (single header, columns from
+    the existing file) — a supervisor restart must not discard rows."""
+    import csv as csvmod
+
+    path = str(tmp_path / "m.csv")
+    lg = MetricsLogger(csv_path=path, print_every=0)
+    lg.log(1, {"energy_re": -1.0, "accept": 0.5})
+    lg.log(2, {"energy_re": -1.5, "accept": 0.5})
+    lg.close()
+    lg2 = MetricsLogger(csv_path=path, print_every=0, append=True)
+    # extra keys not in the original header are dropped, missing keys blank
+    lg2.log(3, {"energy_re": -2.0, "accept": 0.4, "new_key": 9.0})
+    lg2.close()
+    with open(path, newline="") as f:
+        rows = list(csvmod.reader(f))
+    assert rows[0][:2] == ["step", "wall_time"]
+    assert len(rows) == 4  # one header + 3 data rows
+    assert [r[0] for r in rows[1:]] == ["1", "2", "3"]
+    assert all(len(r) == len(rows[0]) for r in rows[1:])
+
+    # append=True on a missing file degrades to a fresh write
+    path2 = str(tmp_path / "fresh.csv")
+    lg3 = MetricsLogger(csv_path=path2, print_every=0, append=True)
+    lg3.log(1, {"energy_re": 0.0})
+    lg3.close()
+    with open(path2, newline="") as f:
+        rows2 = list(csvmod.reader(f))
+    assert rows2[0][0] == "step" and len(rows2) == 2
