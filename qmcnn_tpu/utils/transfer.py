@@ -51,7 +51,19 @@ def load_checkpoint_params(directory: str, step: Optional[int] = None,
     works across configs whose TrainState structures differ — only the
     requested subtree is returned. ``field`` is ``"params"`` (default) or
     ``"ema"`` (the Polyak average of an ema_decay run).
+
+    ``directory`` may also be a ``.npz`` snapshot written by
+    :func:`export_params` (qmcnn_tpu.export): a flat
+    {key-path: array} archive. Hero params are a few hundred KB, so
+    snapshots are committable to git — unlike Orbax trees, they survive
+    the VM (three hero checkpoints died with their machines this round).
     """
+    if directory.endswith(".npz"):
+        with np.load(directory) as z:
+            flat = {k: np.asarray(z[k]) for k in z.files}
+        if not flat:
+            raise ValueError(f"empty params snapshot {directory}")
+        return flat  # _flatten() of a flat dict is itself: transfer-ready
     directory = os.path.abspath(directory)
     options = ocp.CheckpointManagerOptions(create=False)
     mgr = ocp.CheckpointManager(directory, options=options)
