@@ -52,6 +52,7 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             renyi2_region=None,
             chirality: bool = False,
             use_ema: bool = False):
+    measuring_ema = use_ema  # what the report records, however loaded
     # Measurement runs in f32 even when the training config computes in
     # bf16: estimators built from amplitude RATIOS tolerate bf16, but the
     # Lanczos third moment k3 = h3 - 3 h1 h2 + 2 h1^3 cancels ~|E|^3 down
@@ -313,7 +314,7 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
     corr = corr_acc / n_samples
     report = {
         "step": int(loaded_step) if loaded_step is not None else 0,
-        "ema": bool(use_ema),
+        "ema": bool(measuring_ema),
         "energy": float(np.mean(e_trace)),
         "energy_err": binned_stderr(np.asarray(e_trace)),
         "energy_per_site": float(np.mean(e_trace)) / n,
