@@ -157,6 +157,9 @@ def main():
         print(f"CPU_RATE {rate:.6f}")
         return
 
+    from qmcnn_tpu.utils.chip_lock import acquire_chip_lock
+    _chip_lock = acquire_chip_lock(wait_s=900.0)  # bench is driver-facing:
+    # wait a bounded 15 min for a stale holder, then proceed regardless
     rate = measure_rate()
     vs = None
     if not args.no_baseline:

@@ -409,6 +409,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
 def main(argv=None):
     from qmcnn_tpu.utils.platform import honor_platform_request
     honor_platform_request()
+    from qmcnn_tpu.utils.chip_lock import acquire_chip_lock
+    _chip_lock = acquire_chip_lock()  # held until process exit
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True)
     p.add_argument("--ckpt-dir", required=True)

@@ -151,7 +151,12 @@ class Supervisor:
                 pass
             self.log(f"supervise: starting attempt {attempt}: "
                      f"{' '.join(self.argv)}")
-            child = subprocess.Popen(self.argv, start_new_session=True)
+            # The supervisor holds the chip lock for its whole lifetime;
+            # mark the child so its own acquire is a no-op (a child
+            # blocking on its parent's lock would read as a startup stall).
+            from qmcnn_tpu.utils.chip_lock import mark_held_env
+            child = subprocess.Popen(self.argv, start_new_session=True,
+                                     env=mark_held_env(os.environ))
             started = time.monotonic()
             seen_beat = False
             last_hb = None
@@ -239,6 +244,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = p.parse_args(argv)
 
     from qmcnn_tpu import configs as cfglib
+
+    from qmcnn_tpu.utils.chip_lock import acquire_chip_lock
+
+    _lock = acquire_chip_lock()  # held (via fd) until this process exits
 
     cfg = cfglib.load(args.config, tuple(args.override))
     if not cfg.run.ckpt_dir:

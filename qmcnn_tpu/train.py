@@ -303,6 +303,8 @@ def _write_manifest(cfg, e_tail, e_err, e_exact, n_sites) -> None:
 def main(argv=None):
     from qmcnn_tpu.utils.platform import honor_platform_request
     honor_platform_request()
+    from qmcnn_tpu.utils.chip_lock import acquire_chip_lock
+    _chip_lock = acquire_chip_lock()  # held until process exit
     from qmcnn_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)

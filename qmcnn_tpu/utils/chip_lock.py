@@ -1,0 +1,109 @@
+"""Single-chip mutual exclusion for TPU-bound CLI runs.
+
+Why this exists (observed twice in round-2 production, SURVEY.md §5
+"failure detection"): this environment has ONE tunneled TPU chip, and the
+axon backend happily multiplexes concurrent clients instead of refusing
+the second one. Two overlapping runs then contend for HBM and dispatch
+slots — a measure pass overlapping a train run wedged both (pipeline-16/18
+incident), and a double-launched hero leg had two trainers appending to
+the same CSV/checkpoint dir (pipeline-17/18 incident). Neither failure is
+loud at launch time; both corrupt hours of work.
+
+The fix is a plain ``flock`` on a well-known file: the kernel releases it
+when the holder dies (including SIGKILL — no stale-lock cleanup needed),
+and lock state is inspectable (the holder writes its pid + argv into the
+file).
+
+Coordination rules:
+
+* ``qmcnn_tpu.supervise`` acquires the lock ONCE for its whole lifetime
+  (restarts of its train child keep the chip reservation) and marks child
+  environments with ``QMCNN_CHIP_LOCK_HELD`` so the child's own acquire is
+  a no-op — a child blocking on its parent's lock would otherwise look
+  like a startup stall and be killed at startup-timeout.
+* Leaf CLIs (train/measure/evolve, bench.py) acquire it themselves when
+  run unsupervised.
+* CPU-forced runs (``JAX_PLATFORMS=cpu`` etc., see utils/platform.py)
+  never touch the chip and skip the lock entirely, so host-side smoke
+  runs stay concurrent.
+* Waiting is bounded: after ``wait_s`` the caller proceeds WITHOUT the
+  lock (loudly) — the lock is a guard rail for accidental overlap, not a
+  scheduler; a wedged holder must not brick the driver's bench run.
+"""
+from __future__ import annotations
+
+import errno
+import fcntl
+import os
+import sys
+import time
+from typing import Optional, TextIO
+
+ENV_PATH = "QMCNN_CHIP_LOCK"
+ENV_HELD = "QMCNN_CHIP_LOCK_HELD"
+DEFAULT_PATH = "/tmp/qmcnn_chip.lock"
+
+
+def _platform_is_cpu() -> bool:
+    req = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    return bool(req) and req != "axon" and "tpu" not in req
+
+
+def acquire_chip_lock(wait_s: float = 10800.0, poll_s: float = 5.0,
+                      log=print) -> Optional[TextIO]:
+    """Acquire the single-chip lock; returns the held file (keep it alive).
+
+    Returns None without locking when the run is CPU-forced, when a parent
+    supervisor already holds the lock (``QMCNN_CHIP_LOCK_HELD``), or when
+    ``wait_s`` elapses (after logging that the run proceeds unlocked).
+    The lock is released automatically when the returned file is closed or
+    the process exits/dies.
+    """
+    if os.environ.get(ENV_HELD):
+        return None
+    if _platform_is_cpu():
+        return None
+    path = os.environ.get(ENV_PATH, DEFAULT_PATH)
+    try:
+        f = open(path, "a+")
+    except OSError as e:
+        log(f"chip-lock: cannot open {path} ({e}) — proceeding unlocked")
+        return None
+    deadline = time.monotonic() + wait_s
+    warned = False
+    while True:
+        try:
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+            break
+        except OSError as e:
+            if e.errno not in (errno.EAGAIN, errno.EACCES):
+                log(f"chip-lock: flock failed ({e}) — proceeding unlocked")
+                return f  # keep fd open; harmless
+        if not warned:
+            try:
+                f.seek(0)
+                holder = f.read(200).strip()
+            except OSError:
+                holder = "?"
+            log(f"chip-lock: chip busy (held by: {holder or '?'}) — "
+                f"waiting up to {wait_s:.0f}s", flush=True)
+            warned = True
+        if time.monotonic() > deadline:
+            log(f"chip-lock: still held after {wait_s:.0f}s — proceeding "
+                "WITHOUT the lock (overlap risk accepted)", flush=True)
+            return f
+        time.sleep(poll_s)
+    f.seek(0)
+    f.truncate()
+    f.write(f"pid={os.getpid()} argv={' '.join(sys.argv[:6])}\n")
+    f.flush()
+    if warned:
+        log("chip-lock: acquired", flush=True)
+    return f
+
+
+def mark_held_env(env: dict) -> dict:
+    """Return a child-process env dict marked as already-locked."""
+    env = dict(env)
+    env[ENV_HELD] = "1"
+    return env
