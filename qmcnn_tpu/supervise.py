@@ -137,10 +137,37 @@ class Supervisor:
             pass
         child.wait()
 
+    def _install_term_handlers(self) -> None:
+        """Kill the live child pgid when the supervisor itself is told to die.
+
+        Pipelines wrap the supervisor in ``timeout N`` — its SIGTERM used to
+        reap only the supervisor, ORPHANING the train child (its own process
+        group survives the parent): the orphan kept the chip busy while the
+        next pipeline leg launched, which is exactly the overlap class the
+        chip lock exists to prevent (and the orphan is marked lock-held via
+        env, so it holds nothing the next leg could wait on).
+        """
+        def _on_term(signum, frame):
+            child = self._child
+            if child is not None and child.poll() is None:
+                try:
+                    os.killpg(child.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+            raise SystemExit(128 + signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+            try:
+                signal.signal(sig, _on_term)
+            except (ValueError, OSError):  # non-main thread / exotic env
+                pass
+
     def run(self) -> int:
         restarts_without_progress = 0
         best_step = -1
         attempt = 0
+        self._child: Optional[subprocess.Popen] = None
+        self._install_term_handlers()
         while True:
             attempt += 1
             self._wait_for_device()
@@ -157,6 +184,7 @@ class Supervisor:
             from qmcnn_tpu.utils.chip_lock import mark_held_env
             child = subprocess.Popen(self.argv, start_new_session=True,
                                      env=mark_held_env(os.environ))
+            self._child = child
             started = time.monotonic()
             seen_beat = False
             last_hb = None

@@ -197,3 +197,55 @@ def test_transient_heartbeat_glitch_does_not_kill(tmp_path):
     """, stall_timeout=60, startup_timeout=10.0, max_restarts=0)
     assert rc == 0
     assert read_heartbeat(hb)[0] == 2
+
+
+def test_sigterm_reaps_the_child(tmp_path):
+    """``timeout N supervise`` must not orphan the train child.
+
+    Production class: pipeline timeouts SIGTERM the supervisor; before the
+    handler existed the child (own process group) survived as a zombie
+    trainer holding the chip while the next pipeline leg launched — the
+    pipeline-16/18 overlap incident.
+    """
+    import signal
+    import subprocess
+    import time
+
+    hb = str(tmp_path / "hb")
+    child = _stub(tmp_path, "child.py", """
+        with open(os.path.join(state, "childpid"), "w") as f:
+            f.write(str(os.getpid()))
+        time.sleep(120)
+    """)
+    driver = tmp_path / "driver.py"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    driver.write_text(textwrap.dedent(f"""\
+        import sys
+        sys.path.insert(0, {repo!r})
+        from qmcnn_tpu.supervise import Supervisor
+        sup = Supervisor([sys.executable, {child!r}, {hb!r}, {str(tmp_path)!r}],
+                         {hb!r}, poll_s=0.1, startup_timeout=60,
+                         log=lambda *a, **k: None)
+        sys.exit(sup.run())
+        """))
+    proc = subprocess.Popen([sys.executable, str(driver)])
+    pidfile = tmp_path / "childpid"
+    deadline = time.time() + 30
+    while not pidfile.exists() and time.time() < deadline:
+        time.sleep(0.05)
+    assert pidfile.exists(), "child never started"
+    child_pid = int(pidfile.read_text())
+    time.sleep(0.2)
+    proc.send_signal(signal.SIGTERM)
+    assert proc.wait(timeout=10) == 128 + signal.SIGTERM
+    # the child's whole process group must be gone
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        try:
+            os.kill(child_pid, 0)
+        except ProcessLookupError:
+            break
+        time.sleep(0.05)
+    else:
+        os.kill(child_pid, 9)  # clean up before failing
+        raise AssertionError("supervisor SIGTERM orphaned its child")
