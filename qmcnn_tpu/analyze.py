@@ -26,14 +26,23 @@ from qmcnn_tpu.utils.metrics import binned_stderr, integrated_autocorr_time
 
 
 def read_csv(path: str) -> dict:
+    """Load a metrics CSV, dropping rows that don't parse in full.
+
+    Killed writers leave truncated trailing lines (observed: a lone "5" —
+    the first byte of a buffered row — at the end of a salvaged hero CSV),
+    and resumed runs may repeat the header mid-file. Accepting a partial
+    row into only the columns that happened to parse would silently
+    misalign columns against each other, so a row is all-or-nothing.
+    """
     cols: dict[str, list[float]] = {}
     with open(path, newline="") as f:
         for row in csv.DictReader(f):
-            for k, v in row.items():
-                try:
-                    cols.setdefault(k, []).append(float(v))
-                except (TypeError, ValueError):
-                    pass
+            try:
+                vals = {k: float(v) for k, v in row.items()}
+            except (TypeError, ValueError):
+                continue
+            for k, v in vals.items():
+                cols.setdefault(k, []).append(v)
     return {k: np.asarray(v) for k, v in cols.items()}
 
 

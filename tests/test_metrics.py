@@ -188,3 +188,23 @@ def test_logger_append_resumes_csv(tmp_path):
     with open(path2, newline="") as f:
         rows2 = list(csvmod.reader(f))
     assert rows2[0][0] == "step" and len(rows2) == 2
+
+
+def test_read_csv_drops_partial_rows(tmp_path):
+    """A killed writer's truncated trailing line (observed: a lone '5' at
+    the end of a salvaged hero CSV) must be dropped whole — accepting it
+    into only the columns that parse would misalign columns."""
+    from qmcnn_tpu.analyze import read_csv
+
+    path = tmp_path / "m.csv"
+    path.write_text(
+        "step,energy_re,energy_var\n"
+        "10,-1.5,0.2\n"
+        "20,-1.6,0.1\n"
+        "step,energy_re,energy_var\n"   # repeated header (resume-append)
+        "30,-1.7,0.05\n"
+        "4"                              # truncated buffer tail, no newline
+    )
+    cols = read_csv(str(path))
+    assert list(cols["step"]) == [10.0, 20.0, 30.0]
+    assert len(cols["energy_re"]) == len(cols["step"]) == len(cols["energy_var"])
