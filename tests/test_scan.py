@@ -1,0 +1,62 @@
+"""Parameter-scan driver (qmcnn_tpu/scan.py): warm-started sweeps.
+
+Oracle: ED at every point (TFIM N=8 chain), plus structural checks that
+the per-point artifacts (CSV, portable .npz params, summary) land and that
+warm starts actually carry parameters between points.
+"""
+import csv
+import json
+import os
+
+import numpy as np
+
+from qmcnn_tpu import configs as cfglib
+from qmcnn_tpu.scan import _parse_values, run_scan
+
+
+def _base_cfg(tmp_path):
+    return cfglib.load("configs/tfim16_sgd.yaml", (
+        "lattice.shape=[8]",
+        "model.channels=[4,4]",
+        "model.kernel_size=3",
+        "sampler.n_walkers=64",
+        "sampler.n_therm_sweeps=10",
+        "run.n_steps=80",
+        "run.log_every=20",
+        "run.validate_against_ed=true",
+        "run.seed=3",
+    ))
+
+
+def test_parse_values():
+    assert _parse_values("3.0,2.0;1.5") == [3.0, 2.0, 1.5]
+
+
+def test_scan_warm_start_sweep(tmp_path, capsys):
+    out = str(tmp_path / "scan")
+    logs = []
+    rows = run_scan(_base_cfg(tmp_path), "hamiltonian.h", [2.0, 1.6], out,
+                    log=lambda *a: logs.append(" ".join(map(str, a))))
+    assert len(rows) == 2
+    # every point: finite energy, ED available, loose MC-budget bound
+    for r in rows:
+        assert np.isfinite(r["energy"]) and r["e_exact"] is not None
+        assert r["rel_err"] < 0.10
+    # artifacts
+    assert os.path.exists(os.path.join(out, "summary.csv"))
+    assert os.path.exists(os.path.join(out, "summary.json"))
+    for i, v in enumerate(["2", "1.6"]):
+        assert os.path.exists(os.path.join(out, f"point_{i}_{v}.csv"))
+        npz = np.load(os.path.join(out, f"point_{i}_{v}.npz"))
+        assert len(npz.files) > 0
+    # the second point declared a warm start; the first was cold
+    assert any("cold start" in ln for ln in logs)
+    assert any("warm from point_0_2.npz" in ln for ln in logs)
+    captured = capsys.readouterr().out
+    assert "warm-start from" in captured  # transfer report from train()
+    # summary.csv round-trips
+    with open(os.path.join(out, "summary.csv")) as f:
+        rd = list(csv.DictReader(f))
+    assert [float(r["value"]) for r in rd] == [2.0, 1.6]
+    meta = json.load(open(os.path.join(out, "summary.json")))
+    assert meta["param"] == "hamiltonian.h" and meta["warm"] is True
