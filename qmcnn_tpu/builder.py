@@ -84,7 +84,7 @@ def build_model(cfg: Config, lattice: Lattice):
 
         if m.rbm_tie_translations and not lattice.pbc:
             raise ValueError("tied-RBM weights require periodic boundaries")
-        return _maybe_spin_flip(_maybe_phase_bias(LogPsiRBM(
+        return _maybe_spin_flip(_maybe_priors(LogPsiRBM(
             lattice_shape=tuple(lattice.shape),
             alpha=m.rbm_alpha,
             complex_params=m.complex_params,
@@ -102,6 +102,11 @@ def build_model(cfg: Config, lattice: Lattice):
                     f"model.{name} is incompatible with the autoregressive "
                     f"ansatz: symmetrized sums of normalized amplitudes are "
                     f"no longer normalized, which breaks exact sampling")
+        if m.jastrow:
+            raise ValueError(
+                "model.jastrow is incompatible with the autoregressive "
+                "ansatz: a configuration-dependent amplitude factor breaks "
+                "the exact-sampling normalization")
         sz_zero = resolve_arnn_sector(cfg)
         if sz_zero and lattice.n_sites % 2:
             raise ValueError("sz0 sector needs an even number of sites")
@@ -157,7 +162,7 @@ def build_model(cfg: Config, lattice: Lattice):
                 residual=m.residual,
                 compute_dtype=m.compute_dtype,
             )
-            return _maybe_spin_flip(_maybe_phase_bias(inner, m, lattice), m)
+            return _maybe_spin_flip(_maybe_priors(inner, m, lattice), m)
         inner = LogPsiGCNN(
             lattice_shape=tuple(lattice.shape),
             channels=tuple(m.channels),
@@ -170,7 +175,7 @@ def build_model(cfg: Config, lattice: Lattice):
             residual=m.residual,
             compute_dtype=m.compute_dtype,
         )
-        return _maybe_spin_flip(_maybe_phase_bias(inner, m, lattice), m)
+        return _maybe_spin_flip(_maybe_priors(inner, m, lattice), m)
     if m.kind == "vit":
         from qmcnn_tpu.models.vit import LogPsiViT
 
@@ -196,7 +201,7 @@ def build_model(cfg: Config, lattice: Lattice):
             param_scale=m.param_scale,
             compute_dtype=m.compute_dtype,
         )
-        inner = _maybe_phase_bias(inner, m, lattice)
+        inner = _maybe_priors(inner, m, lattice)
         if m.point_group_average:
             if lattice.ndim != 2:
                 raise ValueError("point_group_average needs a 2D lattice")
@@ -219,7 +224,7 @@ def build_model(cfg: Config, lattice: Lattice):
         residual=m.residual,
         basis=lattice.basis,
     )
-    inner = _maybe_phase_bias(inner, m, lattice)
+    inner = _maybe_priors(inner, m, lattice)
     if m.translation_average:
         inner = TranslationAveraged(inner=inner,
                                     lattice_shape=tuple(lattice.shape),
@@ -238,10 +243,16 @@ def build_model(cfg: Config, lattice: Lattice):
     return _maybe_spin_flip(inner, m)
 
 
-def _maybe_phase_bias(inner, m, lattice):
-    # Innermost wrapper (inside translation/point-group/spin-parity
+def _maybe_priors(inner, m, lattice):
+    # Innermost wrappers (inside translation/point-group/spin-parity
     # projections) so the projected state is the projection of the BIASED
-    # state — see models/phase.py.
+    # state — see models/phase.py. The Jastrow factor and the phase priors
+    # are both isometry-invariant and Z2-even, so their order (and their
+    # placement relative to the projections) is mathematically irrelevant.
+    if m.jastrow:
+        from qmcnn_tpu.models.jastrow import wrap_jastrow
+
+        inner = wrap_jastrow(inner, lattice)
     if not m.phase_bias:
         return inner
     from qmcnn_tpu.models.phase import PhaseBias, phase_half_angles

@@ -84,6 +84,11 @@ class ModelConfig:
     #: or 'marshall' (the bipartite sign rule as an ansatz phase). Applied
     #: inside all symmetry projections; |psi| and the sampler are untouched.
     phase_bias: Optional[str] = None
+    #: learnable two-body Jastrow amplitude factor tied over minimal-image
+    #: distance shells (models/jastrow.py): exactly isometry-invariant,
+    #: zero-initialized (identity at init), one extra [M,N]x[N,N] matmul
+    #: per forward. Any kind except 'arnn' (breaks exact sampling).
+    jastrow: bool = False
     #: ARNN-only (kind='arnn'; channels are the masked hidden widths, and
     #: the default 'lncosh' activation is upgraded to 'selu' — lncosh is
     #: even, which wastes the masked stack's sign information):

@@ -1,0 +1,148 @@
+"""Learnable two-body Jastrow amplitude factor on the log-amplitude.
+
+Physics. The classic VMC correlator (Jastrow 1955; for spins e.g.
+Capello et al., PRB 72:085121) multiplies any ansatz by
+
+    psi(s) -> exp( 1/2 sum_{i != j} v_{c(i,j)} s_i s_j ) * psi(s),
+
+a real, positive pair factor whose couplings are tied over symmetry
+classes c(i,j) of site pairs. Here the classes are the **minimal-image
+Cartesian distance shells** of the periodic lattice (plus nothing else),
+so the factor is exactly invariant under every lattice isometry —
+translations, rotations, reflections — for all five geometries
+(chain / square / triangular / honeycomb / kagome). It therefore commutes
+with the framework's symmetry projections (translation / point-group /
+spin-parity averaging: s_i s_j is also Z2-even), making the wrapper
+placement mathematically irrelevant; the builder applies it innermost,
+alongside the phase priors (models/phase.py).
+
+TPU shape. One parameter vector v[n_shells] is scattered into the [N, N]
+coupling matrix W by a trace-time integer take, then the batch pays a
+single [M, N] x [N, N] MXU matmul for the quadratic form — O(M N^2)
+bfloat16-able FLOPs, no gathers in the hot loop. ``v`` initializes to
+zero, so a Jastrow-wrapped model starts bit-identical to the bare one
+(tested) and the factor only turns on as SR/SGD moves it.
+
+Reference parity note: SURVEY.md's reference (pure CNN ansatz) has no
+Jastrow; this is beyond-parity capability — the standard baseline
+correlator of the wider VMC literature, and a cheap amplitude-structure
+booster for the frustrated lattices where the plain CNN saturates.
+
+Not available for the autoregressive ansatz: multiplying a normalized
+|psi|^2 by a configuration-dependent factor breaks the exact-sampling
+contract (the builder rejects the combination).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qmcnn_tpu.lattice import Lattice
+from qmcnn_tpu.ops import cplx
+from qmcnn_tpu.ops.cplx import C
+
+Array = jax.Array
+
+#: Cartesian primitive vectors of the triangular Bravais lattice (shared by
+#: the triangular, honeycomb and kagome geometries; lattice.py's convention)
+_A1 = np.array([1.0, 0.0])
+_A2 = np.array([0.5, np.sqrt(3.0) / 2.0])
+
+
+def site_positions(lattice: Lattice) -> np.ndarray:
+    """[n_sites, ndim] Cartesian positions of every site.
+
+    Chain/square use unit axis vectors; triangular-Bravais geometries use
+    a1 = (1, 0), a2 = (1/2, sqrt(3)/2) with the standard basis offsets
+    (honeycomb B at (a1 + a2)/3, kagome B/C at a1/2, a2/2) — consistent
+    with the bond lists in lattice.py.
+    """
+    coords = lattice.coords.astype(np.float64)
+    if lattice.geometry == "hypercubic":
+        return coords
+    cells = coords[:, 0:1] * _A1 + coords[:, 1:2] * _A2
+    if lattice.geometry == "triangular":
+        return cells
+    if lattice.geometry == "honeycomb":
+        offsets = np.stack([np.zeros(2), (_A1 + _A2) / 3.0])
+    elif lattice.geometry == "kagome":
+        offsets = np.stack([np.zeros(2), _A1 / 2.0, _A2 / 2.0])
+    else:  # pragma: no cover - guarded by Lattice.__post_init__
+        raise ValueError(f"unknown geometry {lattice.geometry!r}")
+    return cells + offsets[coords[:, -1].astype(int)]
+
+
+def distance_classes(lattice: Lattice) -> Tuple[np.ndarray, int]:
+    """Distance-shell classes of all site pairs.
+
+    Returns ``(class_matrix, n_shells)``: an [N, N] int32 matrix whose
+    (i, j) entry is the shell index of the minimal-image distance |r_i -
+    r_j| (shells sorted by distance, so shell 0 is always the NN shell),
+    with the diagonal set to the sentinel ``n_shells`` (an s_i s_i term is
+    a constant and carries no parameter).
+
+    Under periodic boundaries the minimal image minimizes over the nine
+    torus translations p * L1 + q * L2, p, q in {-1, 0, 1}, where L1/L2
+    are the cell-grid extents times the primitive vectors; open boundaries
+    use the plain distance.
+    """
+    pos = site_positions(lattice)
+    diff = pos[:, None, :] - pos[None, :, :]  # [N, N, ndim]
+    if lattice.pbc:
+        if lattice.ndim == 1:
+            spans = [np.array([float(lattice.shape[0])])]
+        elif lattice.geometry == "hypercubic":
+            spans = [lattice.shape[0] * np.array([1.0, 0.0]),
+                     lattice.shape[1] * np.array([0.0, 1.0])]
+        else:
+            spans = [lattice.shape[0] * _A1, lattice.shape[1] * _A2]
+        images = [p * spans[0] + (q * spans[1] if len(spans) > 1 else 0.0)
+                  for p in (-1, 0, 1)
+                  for q in ((-1, 0, 1) if len(spans) > 1 else (0,))]
+        d = np.min(np.stack(
+            [np.linalg.norm(diff + im, axis=-1) for im in images]), axis=0)
+    else:
+        d = np.linalg.norm(diff, axis=-1)
+    # bucket by rounded distance; sort shells so index 0 = NN shell
+    keys = np.round(d, 6)
+    shells = np.unique(keys[~np.eye(lattice.n_sites, dtype=bool)])
+    cm = np.searchsorted(shells, keys).astype(np.int32)
+    np.fill_diagonal(cm, len(shells))
+    return cm, int(len(shells))
+
+
+class Jastrow(nn.Module):
+    """log psi(s) = inner(s) + 1/2 sum_{ij} v[class(i, j)] s_i s_j.
+
+    A real amplitude factor: only the real part of the log-amplitude
+    shifts, and ``v`` starts at zero (exact identity at init). The class
+    matrix is stored as nested tuples so the module stays a hashable
+    static dataclass; it is rebuilt as a constant at trace time.
+    """
+
+    inner: nn.Module
+    class_matrix: Tuple[Tuple[int, ...], ...]
+    n_shells: int
+
+    @nn.compact
+    def __call__(self, s: Array) -> C:
+        out = cplx.as_c(self.inner(s))
+        v = self.param("v", nn.initializers.zeros, (self.n_shells,),
+                       jnp.float32)
+        cm = jnp.asarray(np.asarray(self.class_matrix, np.int32))
+        # sentinel diagonal class -> coupling 0 (padded slot)
+        w = jnp.concatenate([v, jnp.zeros((1,), jnp.float32)])[cm]  # [N, N]
+        sf = s.reshape(s.shape[0], -1).astype(jnp.float32)
+        quad = 0.5 * jnp.einsum("bi,ij,bj->b", sf, w, sf)
+        return C(out.re + quad, out.im)
+
+
+def wrap_jastrow(inner: nn.Module, lattice: Lattice) -> nn.Module:
+    cm, n_shells = distance_classes(lattice)
+    return Jastrow(inner=inner,
+                   class_matrix=tuple(map(tuple, cm.tolist())),
+                   n_shells=n_shells)
