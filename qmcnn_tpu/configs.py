@@ -226,6 +226,15 @@ class RunConfig:
     #: 0 = auto: time one single-step dispatch, then pick the largest
     #: chunk that fits the ~40s safety budget (costs one extra compile).
     steps_per_dispatch: int = 10
+    #: thermalization sweeps fused into one device dispatch. Thermalization
+    #: is sampler.n_therm_sweeps sequential lattice sweeps; on large
+    #: lattices with deep models a single all-sweeps dispatch exceeds the
+    #: tunnel's ~80s dispatch kill (observed: 16x16 depth-8 GCNN died at
+    #: the first dispatch, runs/r2_pipeline24.out). Chunking costs one
+    #: ~30ms host round trip per chunk and (for a non-divisible tail) one
+    #: extra compile; the MC stream stays deterministic (per-chunk keys
+    #: are folded from the sweep offset). 0 = all sweeps in one dispatch.
+    therm_sweeps_per_dispatch: int = 10
     log_every: int = 10
     csv_path: Optional[str] = None
     tensorboard_dir: Optional[str] = None

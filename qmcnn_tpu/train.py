@@ -50,6 +50,20 @@ def exact_reference_energy(cfg) -> Optional[float]:
     return exact.ground_energy(sp)
 
 
+def therm_chunks(total: int, per: int):
+    """Dispatch schedule for chunked thermalization: [(sweep_offset, n)].
+
+    ``per <= 0`` (or >= total) keeps the single-dispatch layout. Chunking
+    costs at most two distinct compiled sweep counts (``per`` and the
+    tail remainder).
+    """
+    if total <= 0:
+        return []
+    if per <= 0 or per >= total:
+        return [(0, total)]
+    return [(off, min(per, total - off)) for off in range(0, total, per)]
+
+
 def _heartbeat(path: Optional[str], step: int) -> None:
     """Liveness marker for qmcnn_tpu.supervise: '<step> <unix-time>'.
 
@@ -103,8 +117,17 @@ def train(cfg, ckpt_manager=None, logger=None):
         start_step = int(state.step)
         print(f"resumed from checkpoint at step {start_step}")
     else:
-        state = sharded.thermalize(state, jax.random.fold_in(key, 1),
-                                   n_sweeps=cfg.sampler.n_therm_sweeps)
+        # Thermalize in bounded dispatches (run.therm_sweeps_per_dispatch):
+        # one all-sweeps dispatch exceeds the tunnel's ~80s kill on large
+        # lattices with deep models. Per-chunk keys fold in the sweep
+        # offset, so the schedule is deterministic in the seed (though the
+        # stream differs from the single-dispatch layout — thermalization
+        # only needs equilibration, not a bit-stable stream).
+        tkey = jax.random.fold_in(key, 1)
+        for offset, n in therm_chunks(cfg.sampler.n_therm_sweeps,
+                                      cfg.run.therm_sweeps_per_dispatch):
+            state = sharded.thermalize(state, jax.random.fold_in(tkey, offset),
+                                       n_sweeps=n)
 
     e_exact = exact_reference_energy(cfg)
     sweeps_per_step = cfg.sampler.n_sweeps_per_step
