@@ -51,6 +51,7 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             dimer: bool = False,
             renyi2_region=None,
             chirality: bool = False,
+            sma: bool = False,
             use_ema: bool = False):
     measuring_ema = use_ema  # what the report records, however loaded
     # Measurement runs in f32 even when the training config computes in
@@ -172,6 +173,30 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
                 vmc.log_psi_fn, state.params, s1, s2, lp1, lp2, reg,
                 sector_mask=sector_mask).re for reg in regions])
 
+    sma_shells, sma_disps = None, None
+    sma_ct_acc = None
+    marshall_basis = (cfg.hamiltonian.kind in ("heisenberg", "j1j2")
+                      and cfg.hamiltonian.marshall)
+    if sma:
+        from qmcnn_tpu.ops import sma as sma_mod
+
+        # raises early (before any sampling) for non-exchange
+        # Hamiltonians, multi-site bases, or open boundaries
+        sma_shells = sma_mod.exchange_shells(vmc.ham, lattice)
+        sma_disps = sorted({d for _, d in sma_shells})
+        sma_ct_acc = np.zeros(len(sma_disps))
+
+        @jax.jit
+        def sma_once(state):
+            # C_t(delta) per shell displacement: one amplitude-ratio pass
+            # each (the same machinery as the NN spin-spin estimator)
+            w = phys(state.walkers)
+            return jnp.stack([observables.offdiag_observable(
+                vmc.log_psi_fn, state.params, w.s, w.log_psi,
+                observables.spin_spin_connected(
+                    lattice, d, marshall=marshall_basis),
+                chunk_size=le_chunk).re for d in sma_disps])
+
     swap_trace = []
     chi_trace = []
     if chirality:
@@ -276,6 +301,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             swap_trace.append(np.asarray(renyi2_once(state)))
         if chirality:
             chi_trace.append(float(chirality_once(state).re))
+        if sma:
+            sma_ct_acc += np.asarray(sma_once(state))
 
     s2 = None
     if total_spin:
@@ -372,6 +399,25 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
     if chirality:
         report["scalar_chirality"] = float(np.mean(chi_trace))
         report["scalar_chirality_err"] = binned_stderr(np.asarray(chi_trace))
+    if sma:
+        from qmcnn_tpu.ops import sma as sma_mod
+
+        ct = {d: float(v / n_samples)
+              for d, v in zip(sma_disps, sma_ct_acc)}
+        f_q, s_q, omega = sma_mod.sma_dispersion(sma_shells, ct, corr,
+                                                 lattice)
+        finite = np.isfinite(omega) & (np.arange(n).reshape(omega.shape) > 0)
+        report["sma_transverse_corr"] = {str(d): ct[d] for d in sma_disps}
+        report["sma_first_moment"] = [round(float(x), 8)
+                                      for x in f_q.reshape(-1)]
+        report["sma_omega"] = [float(x) if np.isfinite(x) else None
+                               for x in omega.reshape(-1)]
+        if finite.any():
+            # the softest mode (the magnon-band minimum over the grid,
+            # q = 0 excluded) — an upper bound on the spin gap
+            k = int(np.nanargmin(np.where(finite, omega, np.nan)))
+            report["sma_gap_bound"] = float(omega.reshape(-1)[k])
+            report["sma_gap_q_index"] = k
     if fid is not None:
         report["fidelity_vs_ckpt"] = fid
     if s2 is not None:
@@ -434,6 +480,13 @@ def main(argv=None):
                    help="also report the scalar spin chirality "
                         "<S_i.(S_j x S_k)> averaged over CCW triangles "
                         "(triangular/kagome; chiral-order diagnostic)")
+    p.add_argument("--sma", action="store_true",
+                   help="also report the single-mode-approximation "
+                        "(Feynman) magnon dispersion omega_SMA(q) = "
+                        "f(q)/S(q) over the reciprocal grid, plus the "
+                        "softest-mode spin-gap bound (exchange "
+                        "Hamiltonians on 1-site-basis periodic lattices; "
+                        "costs one amplitude-ratio pass per bond shell)")
     p.add_argument("--renyi2", action="append", default=None,
                    metavar="REGION",
                    help="also report the Renyi-2 entanglement entropy of a "
@@ -457,6 +510,7 @@ def main(argv=None):
                      dimer=args.dimer,
                      renyi2_region=args.renyi2,
                      chirality=args.chirality,
+                     sma=args.sma,
                      use_ema=args.ema)
     print(json.dumps({k: v for k, v in report.items() if k != "szsz_corr"},
                      indent=2))
