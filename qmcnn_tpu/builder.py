@@ -419,6 +419,12 @@ def resolve_sampler_backend(cfg: Config) -> str:
                  and not cfg.model.translation_average
                  and not cfg.model.point_group_average
                  and not cfg.model.spin_flip_sector
+                 # wrapper modules (jastrow, phase priors) nest the conv
+                 # params under 'inner/' (prepare_circulant_params would
+                 # not find them), and the jastrow factor changes |psi|
+                 # itself — the fused kernel would sample the bare CNN
+                 and not cfg.model.jastrow
+                 and not cfg.model.phase_bias
                  # the fused kernel's circulant form assumes a 1-site basis
                  # on the site grid (prod(shape) == n_sites)
                  and cfg.lattice.geometry not in ("honeycomb", "kagome"))
@@ -432,8 +438,9 @@ def resolve_sampler_backend(cfg: Config) -> str:
             return "pallas"
         return "xla"
     if b == "pallas" and not pallas_ok:
-        raise ValueError("sampler backend 'pallas' supports only real, "
-                         "non-translation-averaged CNN models")
+        raise ValueError("sampler backend 'pallas' supports only plain "
+                         "real CNN models (no complex params, symmetry "
+                         "projections, phase priors, or jastrow)")
     return b
 
 

@@ -98,6 +98,48 @@ class Lattice:
         return np.stack(np.unravel_index(np.arange(self.n_sites), self.shape), axis=-1)
 
     @cached_property
+    def site_positions(self) -> np.ndarray:
+        """[n_sites, ndim] Cartesian positions of every site — the single
+        owner of the geometric embedding the bond lists and triangles()
+        orientations are written against.
+
+        Chain/square use unit axis vectors. The triangular-Bravais
+        geometries use a1 = (1, 0), a2 = (1/2, sqrt(3)/2) (this module's
+        docstring convention) with the standard basis offsets: honeycomb B
+        at (a1 + a2)/3, kagome B/C at a1/2, a2/2 — consistent with
+        nn_bonds (every honeycomb NN bond length 1/sqrt(3), every kagome
+        NN bond 1/2; pinned by tests/test_jastrow.py's shell oracles).
+        """
+        coords = self.coords.astype(np.float64)
+        if self.geometry == "hypercubic":
+            return coords
+        a1 = np.array([1.0, 0.0])
+        a2 = np.array([0.5, np.sqrt(3.0) / 2.0])
+        cells = coords[:, 0:1] * a1 + coords[:, 1:2] * a2
+        if self.geometry == "triangular":
+            return cells
+        if self.geometry == "honeycomb":
+            offsets = np.stack([np.zeros(2), (a1 + a2) / 3.0])
+        elif self.geometry == "kagome":
+            offsets = np.stack([np.zeros(2), a1 / 2.0, a2 / 2.0])
+        else:  # pragma: no cover - guarded by __post_init__
+            raise ValueError(f"unknown geometry {self.geometry!r}")
+        return cells + offsets[coords[:, -1].astype(int)]
+
+    @cached_property
+    def primitive_spans(self) -> list:
+        """Cartesian torus translation vectors (one per periodic axis) —
+        the minimal-image search vectors for Cartesian distances."""
+        if self.ndim == 1:
+            return [np.array([float(self.shape[0])])]
+        if self.geometry == "hypercubic":
+            return [self.shape[0] * np.array([1.0, 0.0]),
+                    self.shape[1] * np.array([0.0, 1.0])]
+        a1 = np.array([1.0, 0.0])
+        a2 = np.array([0.5, np.sqrt(3.0) / 2.0])
+        return [self.shape[0] * a1, self.shape[1] * a2]
+
+    @cached_property
     def nn_bonds(self) -> np.ndarray:
         """Nearest-neighbor bonds as an [n_bonds, 2] int32 array of site pairs.
 

@@ -107,8 +107,15 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
                 "optimizer.ema_decay > 0)")
         state = state._replace(params=state.ema)
         print("measuring the EMA (Polyak-averaged) parameters")
-    state = sharded.thermalize(state, jax.random.fold_in(key, 1),
-                               n_sweeps=therm_sweeps)
+    # bounded thermalization dispatches (run.therm_sweeps_per_dispatch):
+    # the params-only-restore fallback forces >= 50 fresh sweeps, which on
+    # 256+ site deep-model checkpoints exceeds the tunnel's ~80s dispatch
+    # kill in one device call — the same failure train() chunks against
+    from qmcnn_tpu.train import chunked_thermalize
+
+    state = chunked_thermalize(sharded, state, jax.random.fold_in(key, 1),
+                               therm_sweeps,
+                               cfg.run.therm_sweeps_per_dispatch)
 
     n = lattice.n_sites
     # reuse the training auto-chunk (builder/auto_chunk_size) for every
@@ -136,6 +143,10 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
     dimer_mean_trace = []
     if dimer and not (on_grid and lattice.ndim == 2):
         raise ValueError("--dimer needs a 2D 1-site-basis lattice")
+    # the trained state lives in the Marshall-rotated basis for these
+    # kinds: every transverse (off-diagonal) estimator must undo the sign
+    marshall_basis = (cfg.hamiltonian.kind in ("heisenberg", "j1j2")
+                      and cfg.hamiltonian.marshall)
     nn_disp = None
     if on_grid:
         # full S_i.S_{i+r} at the nearest-neighbor displacement (the bond
@@ -175,8 +186,6 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
 
     sma_shells, sma_disps = None, None
     sma_ct_acc = None
-    marshall_basis = (cfg.hamiltonian.kind in ("heisenberg", "j1j2")
-                      and cfg.hamiltonian.marshall)
     if sma:
         from qmcnn_tpu.ops import sma as sma_mod
 
@@ -218,9 +227,7 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         if on_grid:
             ss_nn = observables.spin_spin_correlation(
                 vmc.log_psi_fn, state.params, walkers.s, walkers.log_psi,
-                lattice, nn_disp,
-                marshall=(cfg.hamiltonian.kind in ("heisenberg", "j1j2")
-                          and cfg.hamiltonian.marshall),
+                lattice, nn_disp, marshall=marshall_basis,
                 chunk_size=le_chunk).re
             corr = observables.szsz_correlation(walkers.s, lattice)
         else:
@@ -313,9 +320,7 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         s2_out = jax.jit(lambda st: observables.total_spin_sq(
             vmc.log_psi_fn, st.params, phys(st.walkers).s,
             phys(st.walkers).log_psi,
-            lattice,
-            marshall=(cfg.hamiltonian.kind in ("heisenberg", "j1j2")
-                      and cfg.hamiltonian.marshall),
+            lattice, marshall=marshall_basis,
             pair_chunk=max(1, fwd_budget // m_walkers)))(state)
         s2 = float(s2_out.re)
 
@@ -332,8 +337,10 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             step=fidelity_step)
         state2 = sharded.init_state(jax.random.fold_in(key, 2),
                                     cfg.sampler.n_walkers, params2)
-        state2 = sharded.thermalize(state2, jax.random.fold_in(key, 3),
-                                    n_sweeps=max(therm_sweeps, 50))
+        state2 = chunked_thermalize(sharded, state2,
+                                    jax.random.fold_in(key, 3),
+                                    max(therm_sweeps, 50),
+                                    cfg.run.therm_sweeps_per_dispatch)
         fid = float(jax.jit(mc_fidelity, static_argnums=(0, 2))(
             vmc.log_psi_fn, state.params, vmc.log_psi_fn, params2,
             phys(state.walkers).s, phys(state2.walkers).s))

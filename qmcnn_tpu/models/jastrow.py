@@ -18,10 +18,16 @@ alongside the phase priors (models/phase.py).
 
 TPU shape. One parameter vector v[n_shells] is scattered into the [N, N]
 coupling matrix W by a trace-time integer take, then the batch pays a
-single [M, N] x [N, N] MXU matmul for the quadratic form — O(M N^2)
-bfloat16-able FLOPs, no gathers in the hot loop. ``v`` initializes to
+single [M, N] x [N, N] float32 MXU matmul for the quadratic form —
+O(M N^2) FLOPs, no gathers in the hot loop, negligible next to the conv
+stack (and the f32 keeps the factor's log-amplitude shift out of the
+bf16 rounding noise when compute_dtype is bfloat16). ``v`` initializes to
 zero, so a Jastrow-wrapped model starts bit-identical to the bare one
 (tested) and the factor only turns on as SR/SGD moves it.
+
+The Cartesian site embedding and torus translation vectors come from
+``Lattice.site_positions`` / ``Lattice.primitive_spans`` (lattice.py owns
+the geometry conventions); this module only buckets distances.
 
 Reference parity note: SURVEY.md's reference (pure CNN ansatz) has no
 Jastrow; this is beyond-parity capability — the standard baseline
@@ -47,34 +53,6 @@ from qmcnn_tpu.ops.cplx import C
 
 Array = jax.Array
 
-#: Cartesian primitive vectors of the triangular Bravais lattice (shared by
-#: the triangular, honeycomb and kagome geometries; lattice.py's convention)
-_A1 = np.array([1.0, 0.0])
-_A2 = np.array([0.5, np.sqrt(3.0) / 2.0])
-
-
-def site_positions(lattice: Lattice) -> np.ndarray:
-    """[n_sites, ndim] Cartesian positions of every site.
-
-    Chain/square use unit axis vectors; triangular-Bravais geometries use
-    a1 = (1, 0), a2 = (1/2, sqrt(3)/2) with the standard basis offsets
-    (honeycomb B at (a1 + a2)/3, kagome B/C at a1/2, a2/2) — consistent
-    with the bond lists in lattice.py.
-    """
-    coords = lattice.coords.astype(np.float64)
-    if lattice.geometry == "hypercubic":
-        return coords
-    cells = coords[:, 0:1] * _A1 + coords[:, 1:2] * _A2
-    if lattice.geometry == "triangular":
-        return cells
-    if lattice.geometry == "honeycomb":
-        offsets = np.stack([np.zeros(2), (_A1 + _A2) / 3.0])
-    elif lattice.geometry == "kagome":
-        offsets = np.stack([np.zeros(2), _A1 / 2.0, _A2 / 2.0])
-    else:  # pragma: no cover - guarded by Lattice.__post_init__
-        raise ValueError(f"unknown geometry {lattice.geometry!r}")
-    return cells + offsets[coords[:, -1].astype(int)]
-
 
 def distance_classes(lattice: Lattice) -> Tuple[np.ndarray, int]:
     """Distance-shell classes of all site pairs.
@@ -86,20 +64,14 @@ def distance_classes(lattice: Lattice) -> Tuple[np.ndarray, int]:
     a constant and carries no parameter).
 
     Under periodic boundaries the minimal image minimizes over the nine
-    torus translations p * L1 + q * L2, p, q in {-1, 0, 1}, where L1/L2
-    are the cell-grid extents times the primitive vectors; open boundaries
-    use the plain distance.
+    torus translations p * L1 + q * L2, p, q in {-1, 0, 1} (three in 1D),
+    with L1/L2 the lattice's Cartesian ``primitive_spans``; open
+    boundaries use the plain distance.
     """
-    pos = site_positions(lattice)
+    pos = lattice.site_positions
     diff = pos[:, None, :] - pos[None, :, :]  # [N, N, ndim]
     if lattice.pbc:
-        if lattice.ndim == 1:
-            spans = [np.array([float(lattice.shape[0])])]
-        elif lattice.geometry == "hypercubic":
-            spans = [lattice.shape[0] * np.array([1.0, 0.0]),
-                     lattice.shape[1] * np.array([0.0, 1.0])]
-        else:
-            spans = [lattice.shape[0] * _A1, lattice.shape[1] * _A2]
+        spans = lattice.primitive_spans
         images = [p * spans[0] + (q * spans[1] if len(spans) > 1 else 0.0)
                   for p in (-1, 0, 1)
                   for q in ((-1, 0, 1) if len(spans) > 1 else (0,))]

@@ -64,6 +64,19 @@ def therm_chunks(total: int, per: int):
     return [(off, min(per, total - off)) for off in range(0, total, per)]
 
 
+def chunked_thermalize(sharded, state, key, n_sweeps: int, per: int):
+    """Thermalize in bounded dispatches (see therm_chunks): one all-sweeps
+    dispatch exceeds the tunnel's ~80s kill on large lattices with deep
+    models. Per-chunk keys fold in the sweep offset, so the schedule is
+    deterministic in the seed (though the stream differs from the
+    single-dispatch layout — thermalization only needs equilibration, not
+    a bit-stable stream). Shared by train() and the measure CLI."""
+    for offset, n in therm_chunks(n_sweeps, per):
+        state = sharded.thermalize(state, jax.random.fold_in(key, offset),
+                                   n_sweeps=n)
+    return state
+
+
 def _heartbeat(path: Optional[str], step: int) -> None:
     """Liveness marker for qmcnn_tpu.supervise: '<step> <unix-time>'.
 
@@ -117,17 +130,10 @@ def train(cfg, ckpt_manager=None, logger=None):
         start_step = int(state.step)
         print(f"resumed from checkpoint at step {start_step}")
     else:
-        # Thermalize in bounded dispatches (run.therm_sweeps_per_dispatch):
-        # one all-sweeps dispatch exceeds the tunnel's ~80s kill on large
-        # lattices with deep models. Per-chunk keys fold in the sweep
-        # offset, so the schedule is deterministic in the seed (though the
-        # stream differs from the single-dispatch layout — thermalization
-        # only needs equilibration, not a bit-stable stream).
-        tkey = jax.random.fold_in(key, 1)
-        for offset, n in therm_chunks(cfg.sampler.n_therm_sweeps,
-                                      cfg.run.therm_sweeps_per_dispatch):
-            state = sharded.thermalize(state, jax.random.fold_in(tkey, offset),
-                                       n_sweeps=n)
+        state = chunked_thermalize(sharded, state,
+                                   jax.random.fold_in(key, 1),
+                                   cfg.sampler.n_therm_sweeps,
+                                   cfg.run.therm_sweeps_per_dispatch)
 
     e_exact = exact_reference_energy(cfg)
     sweeps_per_step = cfg.sampler.n_sweeps_per_step

@@ -98,16 +98,36 @@ def load_checkpoint_params(directory: str, step: Optional[int] = None,
     return out
 
 
+def _strip_inner(key: str) -> str:
+    """Drop path segments named 'inner' — the attribute every wrapper
+    module here (Jastrow, PhaseBias, TranslationAveraged, PointGroup/
+    SpinFlip projections) nests its wrapped model under. Normalizing both
+    sides makes bare <-> wrapped checkpoints transfer-compatible, e.g.
+    turning model.jastrow on over a plateaued bare checkpoint, or
+    warm-starting a projected net from its unprojected phase-1 run."""
+    return "/".join(p for p in key.split("/") if p != "inner")
+
+
 def transfer_params(fresh: Any, source: Any) -> Tuple[Any, int, int]:
     """Copy leaves of ``source`` into ``fresh`` where key-path and shape
-    match. Returns (merged pytree with fresh's structure, n_copied,
-    n_kept_fresh)."""
+    match; exact paths take priority, then a wrapper-transparent retry
+    that treats 'inner' nesting segments as transparent on both sides
+    (skipped for keys that would become ambiguous). Returns (merged
+    pytree with fresh's structure, n_copied, n_kept_fresh)."""
     src = _flatten(source)
+    norm_counts: dict = {}
+    for k in src:
+        nk = _strip_inner(k)
+        norm_counts[nk] = norm_counts.get(nk, 0) + 1
+    src_norm = {_strip_inner(k): v for k, v in src.items()
+                if norm_counts[_strip_inner(k)] == 1}
     copied = [0, 0]
 
     def pick(path, leaf):
         key = "/".join(_key_str(k) for k in path)
         cand = src.get(key)
+        if cand is None or np.shape(cand) != np.shape(leaf):
+            cand = src_norm.get(_strip_inner(key))
         if cand is not None and np.shape(cand) == np.shape(leaf):
             copied[0] += 1
             return np.asarray(cand).astype(np.asarray(leaf).dtype)

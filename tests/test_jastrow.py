@@ -21,8 +21,7 @@ from qmcnn_tpu.configs import Config, LatticeConfig, ModelConfig
 from qmcnn_tpu.lattice import (Lattice, chain, honeycomb, kagome, square,
                                triangular)
 from qmcnn_tpu.models.cnn import log_psi_apply
-from qmcnn_tpu.models.jastrow import (Jastrow, distance_classes,
-                                      site_positions, wrap_jastrow)
+from qmcnn_tpu.models.jastrow import Jastrow, distance_classes, wrap_jastrow
 
 ALL_LATTICES = [chain(8), square(4), triangular(3, 3), honeycomb(2, 2),
                 kagome(2, 2)]
@@ -69,7 +68,7 @@ def test_minimal_image_wraps():
 
 def test_kagome_positions_all_nn_bonds_same_length():
     lat = kagome(3, 3)
-    pos = site_positions(lat)
+    pos = lat.site_positions
     cm, _ = distance_classes(lat)
     i, j = lat.nn_bonds[:, 0], lat.nn_bonds[:, 1]
     assert np.all(cm[i, j] == 0)
@@ -221,3 +220,34 @@ def test_jastrow_learns_end_to_end():
     assert rel_err < 1.5e-2, f"rel_err={rel_err:.3e}"
     v = np.asarray(state.params["params"]["v"])
     assert np.any(np.abs(v) > 1e-3), "jastrow couplings never moved"
+
+
+def test_warm_start_from_bare_checkpoint_params():
+    """Turning model.jastrow on over a plateaued BARE run is the
+    documented use case: transfer_params must copy every conv leaf across
+    the wrapper's 'inner/' nesting (and the reverse direction too)."""
+    from qmcnn_tpu.utils.transfer import transfer_params
+
+    cfg_bare = Config(lattice=LatticeConfig(shape=(6,)),
+                      model=ModelConfig(channels=(4,)))
+    cfg_j = dataclasses.replace(
+        cfg_bare, model=dataclasses.replace(cfg_bare.model, jastrow=True))
+    lat = chain(6)
+    key = jax.random.key(0)
+    x = jnp.ones((1, 6), jnp.float32)
+    bare = build_model(cfg_bare, lat).init(key, x)
+    wrapped = build_model(cfg_j, lat).init(key, x)
+
+    n_bare = len(jax.tree_util.tree_leaves(bare))
+    merged, n_copied, n_fresh = transfer_params(wrapped, bare)
+    assert n_copied == n_bare          # every bare leaf landed
+    assert n_fresh == 1                # only the jastrow couplings fresh
+    # and the couplings stayed zero (identity at init)
+    flat = jax.tree_util.tree_flatten_with_path(merged)[0]
+    v = [leaf for path, leaf in flat if "Jastrow" in str(path) or
+         any(getattr(k, "key", None) == "v" for k in path)]
+    assert len(v) == 1 and np.allclose(np.asarray(v[0]), 0.0)
+
+    # reverse: bare target from a jastrow-wrapped source
+    merged2, n2, _ = transfer_params(bare, wrapped)
+    assert n2 == n_bare
