@@ -14,6 +14,14 @@ E is asymptotically linear in the energy variance as var -> 0 (the exact
 state has zero variance), so a weighted linear fit of the runs'
 (var, E) tail means gives a better ground-state estimate than the best
 single run — the standard NQS reporting trick.
+
+--quench-spectrum: the CSVs are instead ``evolve --corr-csv`` artifacts;
+extract the quench-spectroscopy omega(q) table (time-FFT of S(q, t) with
+sub-bin peak refinement — ops/spectroscopy.py). --shape gives the
+lattice torus (e.g. --shape 8,8); default: a chain over all columns.
+
+  python -m qmcnn_tpu.analyze runs/quench_corr.csv \
+      --quench-spectrum --shape 8,8
 """
 from __future__ import annotations
 
@@ -127,6 +135,33 @@ def extrapolate_zero_variance(results: list) -> dict:
             "slope": float(slope), "n_runs": len(pts)}
 
 
+def quench_spectrum_cli(args) -> list:
+    """--quench-spectrum driver: per corr CSV, print the omega(q) table."""
+    from qmcnn_tpu.ops.spectroscopy import dominant_frequencies, read_corr_csv
+
+    all_tables = []
+    for path in args.csv_paths:
+        times, corr = read_corr_csv(path)
+        shape = (tuple(int(x) for x in args.shape.split(","))
+                 if args.shape else (corr.shape[1],))
+        table = dominant_frequencies(times, corr, shape, pad=args.pad)
+        all_tables.append(table)
+        if len(args.csv_paths) > 1:
+            print(f"--- {path}")
+        t_total = times[-1] - times[0]
+        print(f"rows={times.size}  T={t_total:.3f}  "
+              f"d_omega={2 * 3.141592653589793 / t_total:.4f} "
+              f"(pad x{args.pad})")
+        shown = table if args.top is None else table[:args.top]
+        print(f"{'k':>12}  {'q/pi':>18}  {'omega':>10}  {'power':>12}")
+        for row in shown:
+            qs = ",".join(f"{q / 3.141592653589793:.3f}" for q in row["q"])
+            ks = ",".join(str(k) for k in row["k"])
+            print(f"{ks:>12}  {qs:>18}  {row['omega']:>10.4f}  "
+                  f"{row['power']:>12.4g}")
+    return all_tables[0] if len(all_tables) == 1 else all_tables
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("csv_paths", nargs="+")
@@ -140,7 +175,19 @@ def main(argv=None):
                    default=None,
                    help="median/MAD-gate transient excursions out of the "
                         "tail window (default: on with --extrapolate)")
+    p.add_argument("--quench-spectrum", action="store_true",
+                   help="treat the CSVs as evolve --corr-csv artifacts and "
+                        "extract the omega(q) quench-spectroscopy table")
+    p.add_argument("--shape", type=str, default=None,
+                   help="lattice torus for --quench-spectrum, e.g. 8,8 "
+                        "(default: chain over all columns)")
+    p.add_argument("--pad", type=int, default=8,
+                   help="FFT zero-padding factor for --quench-spectrum")
+    p.add_argument("--top", type=int, default=None,
+                   help="print only the N loudest modes (--quench-spectrum)")
     args = p.parse_args(argv)
+    if args.quench_spectrum:
+        return quench_spectrum_cli(args)
     robust = args.extrapolate if args.robust_tail is None else args.robust_tail
     results = []
     for path in args.csv_paths:
