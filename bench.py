@@ -40,7 +40,7 @@ SWEEPS_SHORT = 2
 SWEEPS_LONG = 10
 
 
-def build_sweep_fn():
+def build_sweep_fn(compute_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +49,8 @@ def build_sweep_fn():
 
     cfg = cfglib.Config(
         lattice=cfglib.LatticeConfig(shape=LATTICE),
-        model=cfglib.ModelConfig(channels=CHANNELS, kernel_size=3),
+        model=cfglib.ModelConfig(channels=CHANNELS, kernel_size=3,
+                                 compute_dtype=compute_dtype),
         hamiltonian=cfglib.HamiltonianConfig(kind="heisenberg"),
         sampler=cfglib.SamplerConfig(n_walkers=N_WALKERS, move="exchange"),
     )
@@ -87,7 +88,7 @@ def build_sweep_fn():
     return run, state, key, n_props_per_sweep
 
 
-def measure_rate(passes: int = 5) -> float:
+def measure_rate(passes: int = 5, compute_dtype: str = "float32") -> float:
     """Sweeps/sec via length differencing (dispatch cost cancelled).
 
     The tunnel adds tens-of-ms latency spikes on individual dispatches
@@ -99,7 +100,7 @@ def measure_rate(passes: int = 5) -> float:
     the repeats are free; the CPU baseline path uses passes=1 (a long
     pass costs minutes there).
     """
-    run, state, key, props_per_sweep = build_sweep_fn()
+    run, state, key, props_per_sweep = build_sweep_fn(compute_dtype)
 
     def timed(n_sweeps, reps=3):
         n = n_sweeps * props_per_sweep
@@ -161,6 +162,10 @@ def main():
                    help="measure on CPU and print CPU_RATE (internal)")
     p.add_argument("--no-baseline", action="store_true",
                    help="skip the CPU stand-in baseline (vs_baseline=null)")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model compute dtype for A/B runs (the recorded "
+                        "bench always measures the shipped default)")
     args = p.parse_args()
 
     if args.cpu_baseline:
@@ -175,7 +180,7 @@ def main():
     from qmcnn_tpu.utils.chip_lock import acquire_chip_lock
     _chip_lock = acquire_chip_lock(wait_s=900.0)  # bench is driver-facing:
     # wait a bounded 15 min for a stale holder, then proceed regardless
-    rate = measure_rate()
+    rate = measure_rate(compute_dtype=args.compute_dtype)
     vs = None
     if not args.no_baseline:
         try:

@@ -425,6 +425,10 @@ def resolve_sampler_backend(cfg: Config) -> str:
                  # itself — the fused kernel would sample the bare CNN
                  and not cfg.model.jastrow
                  and not cfg.model.phase_bias
+                 # the fused kernel computes its f32 circulant forward;
+                 # an end-to-end bf16 XLA stack would make different
+                 # accept decisions than the kernel's f32 ones
+                 and cfg.model.compute_dtype == "float32"
                  # the fused kernel's circulant form assumes a 1-site basis
                  # on the site grid (prod(shape) == n_sites)
                  and cfg.lattice.geometry not in ("honeycomb", "kagome"))

@@ -176,15 +176,20 @@ def resolve_conv_impl(impl: str, lattice_shape: Tuple[int, ...]) -> str:
 
 def apply_conv(x: Array, w: Array, lattice_shape: Tuple[int, ...],
                impl: str, pbc: bool = True,
-               compute_dtype=jnp.float32) -> Array:
+               compute_dtype=jnp.float32, cast_back: bool = True) -> Array:
+    """``cast_back=False`` keeps the output in compute_dtype (end-to-end
+    reduced-precision stacks — see _real_conv for the measured rationale).
+    The roll/circulant matmul reformulations are f32-only reference paths
+    and ignore compute_dtype (resolve_conv_impl never auto-picks them)."""
     if not pbc:
         # open boundaries: zero padding; the matmul reformulations assume
         # wrap-around, so OBC always takes the direct conv path.
         return _real_conv(_circular_pad(x, w.shape[:-2], pbc=False), w,
-                          compute_dtype)
+                          compute_dtype, cast_back=cast_back)
     impl = resolve_conv_impl(impl, lattice_shape)
     if impl == "direct":
-        return _real_conv(_circular_pad(x, w.shape[:-2]), w, compute_dtype)
+        return _real_conv(_circular_pad(x, w.shape[:-2]), w, compute_dtype,
+                          cast_back=cast_back)
     if impl == "roll":
         return _conv_roll(x, w, lattice_shape)
     if impl == "circulant":
@@ -233,6 +238,8 @@ class ComplexConv(nn.Module):
     compute_dtype: str = "float32"
     init_mode: str = "fixed"
     init_extra_scale: float = 1.0
+    #: False = leave the output in compute_dtype (end-to-end bf16 stacks)
+    cast_back: bool = True
 
     @nn.compact
     def __call__(self, z) -> C:
@@ -248,7 +255,8 @@ class ComplexConv(nn.Module):
                        shape, jnp.float32)
         conv = lambda x, w: apply_conv(
             x, w, self.lattice_shape, self.conv_impl, pbc=self.pbc,
-            compute_dtype=jnp.dtype(self.compute_dtype))
+            compute_dtype=jnp.dtype(self.compute_dtype),
+            cast_back=self.cast_back)
         if isinstance(z, C):
             p1 = conv(z.re, a)
             p2 = conv(z.im, b)
@@ -261,7 +269,10 @@ class ComplexConv(nn.Module):
                             (self.features,), jnp.float32)
             bi = self.param("bias_im", nn.initializers.zeros,
                             (self.features,), jnp.float32)
-            out = C(out.re + br, out.im + bi)
+            # cast the (f32) bias to the activation dtype — an f32 add
+            # would silently upcast an end-to-end bf16 stack
+            out = C(out.re + br.astype(out.re.dtype),
+                    out.im + bi.astype(out.im.dtype))
         return out
 
 
@@ -278,6 +289,8 @@ class RealConv(nn.Module):
     compute_dtype: str = "float32"
     init_mode: str = "fixed"
     init_extra_scale: float = 1.0
+    #: False = leave the output in compute_dtype (end-to-end bf16 stacks)
+    cast_back: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -290,11 +303,12 @@ class RealConv(nn.Module):
                        jnp.float32)
         out = apply_conv(x, w, self.lattice_shape, self.conv_impl,
                          pbc=self.pbc,
-                         compute_dtype=jnp.dtype(self.compute_dtype))
+                         compute_dtype=jnp.dtype(self.compute_dtype),
+                         cast_back=self.cast_back)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
-            out = out + bias
+            out = out + bias.astype(out.dtype)
         return out
 
 
@@ -317,7 +331,13 @@ class LogPsiCNN(nn.Module):
     #: periodic boundaries (wrap padding, exact translation invariance);
     #: False = open boundaries (zero padding, invariance does not apply)
     pbc: bool = True
-    #: 'float32' or 'bfloat16' conv operands (f32 accumulation either way)
+    #: 'float32' or 'bfloat16'. bf16 runs the stack END-TO-END in bf16 —
+    #: cast once at the input, activations stay bf16, spatial-sum readout
+    #: accumulated in f32. The r1 per-layer-cast-back form measured ZERO
+    #: speedup (28.2 vs 27.3 us/forward, BASELINE.md r1: the conv is
+    #: HBM-bound at VMC shapes, and per-layer f32 round trips put the
+    #: traffic right back); the end-to-end form is the one the GCNN
+    #: measured +19% full-step with no energy bias (BASELINE.md r2).
     compute_dtype: str = "float32"
     #: 'fixed' (std = param_scale) or 'fan_in' (variance-preserving,
     #: param_scale = gain) — see kernel_std; use fan_in for deep stacks
@@ -338,13 +358,32 @@ class LogPsiCNN(nn.Module):
     @nn.compact
     def __call__(self, s: Array) -> C:
         batch = s.shape[0]
-        act_c, act_r = cplx.ACTIVATIONS[self.activation]
+        act_c0, act_r0 = cplx.ACTIVATIONS[self.activation]
+        cdt = jnp.dtype(self.compute_dtype)
+        if cdt == jnp.float32:
+            act_c, act_r = act_c0, act_r0
+        else:
+            # bf16 STORAGE, f32 activation MATH: lncosh near 0 is a
+            # catastrophic cancellation (t - log2 + log1p(e^{-2t}) — O(1)
+            # terms for a quadratically small result; measured 0.14 abs
+            # bias on a 4x4 C=(8,8) stack in pure bf16). XLA fuses
+            # upcast -> act -> downcast into one elementwise kernel with
+            # bf16 reads/writes, so this costs no HBM traffic.
+            def act_r(x):
+                return act_r0(x.astype(jnp.float32)).astype(cdt)
+
+            def act_c(z):
+                out = act_c0(C(z.re.astype(jnp.float32),
+                               z.im.astype(jnp.float32)))
+                return C(out.re.astype(cdt), out.im.astype(cdt))
         ksz = self.kernel_size
         if isinstance(ksz, int):
             ksz = (ksz,) * len(self.lattice_shape)
         ksz = tuple(min(k, L) for k, L in zip(ksz, self.lattice_shape))
+        # activations live in compute_dtype end-to-end (one cast here, one
+        # f32-accumulated cast at the readout)
         x = s.reshape(batch, *self.lattice_shape,
-                      self.basis).astype(jnp.float32)
+                      self.basis).astype(jnp.dtype(self.compute_dtype))
 
         def final_extra(i, c):
             # shrink the last layer under fan_in so the spatial-sum readout
@@ -367,13 +406,16 @@ class LogPsiCNN(nn.Module):
                                 conv_impl=self.conv_impl, pbc=self.pbc,
                                 compute_dtype=self.compute_dtype,
                                 init_mode=self.init_mode,
-                                init_extra_scale=final_extra(i, c))(x)
+                                init_extra_scale=final_extra(i, c),
+                                cast_back=False)(x)
                 x = act_c(x)
                 if skip(i, c):
                     # variance-preserving (see LogPsiGCNN residual note)
                     x = (x + x_in) * 0.7071067811865476
-            return C(x.re.reshape(batch, -1).sum(-1),
-                     x.im.reshape(batch, -1).sum(-1))
+            # readout accumulated in f32 (XLA fuses the upcast into the
+            # reduction)
+            return C(x.re.reshape(batch, -1).astype(jnp.float32).sum(-1),
+                     x.im.reshape(batch, -1).astype(jnp.float32).sum(-1))
         for i, c in enumerate(self.channels):
             x_in = x
             x = RealConv(features=c, kernel_size=ksz,
@@ -382,11 +424,12 @@ class LogPsiCNN(nn.Module):
                          conv_impl=self.conv_impl, pbc=self.pbc,
                          compute_dtype=self.compute_dtype,
                          init_mode=self.init_mode,
-                         init_extra_scale=final_extra(i, c))(x)
+                         init_extra_scale=final_extra(i, c),
+                         cast_back=False)(x)
             x = act_r(x)
             if skip(i, c):
                 x = (x + x_in) * 0.7071067811865476
-        out = x.reshape(batch, -1).sum(-1)
+        out = x.reshape(batch, -1).astype(jnp.float32).sum(-1)
         return C(out, jnp.zeros_like(out))
 
 

@@ -291,12 +291,29 @@ class LogPsiGCNN(nn.Module):
             k -= 1
         G, _, _, _, chars, _ = c4v_tables(k)
         batch = s.shape[0]
-        act_c, act_r = cplx.ACTIVATIONS[self.activation]
+        act_c0, act_r0 = cplx.ACTIVATIONS[self.activation]
+        cdt = jnp.dtype(self.compute_dtype)
+        if cdt == jnp.float32:
+            act_c, act_r = act_c0, act_r0
+        else:
+            # bf16 STORAGE, f32 activation MATH: lncosh near 0 cancels
+            # O(1) terms for a quadratically small result and bf16's
+            # 8-bit mantissa turns that into a coherent bias (measured on
+            # the CNN stack, tests/test_ansatz.py bf16 tests). The hero
+            # configs use selu (no cancellation), but the guard keeps
+            # bf16+lncosh honest too. XLA fuses upcast -> act -> downcast
+            # into one elementwise kernel: no extra HBM traffic.
+            def act_r(x):
+                return act_r0(x.astype(jnp.float32)).astype(cdt)
+
+            def act_c(zz):
+                out = act_c0(C(zz.re.astype(jnp.float32),
+                               zz.im.astype(jnp.float32)))
+                return C(out.re.astype(cdt), out.im.astype(cdt))
         # activations live in compute_dtype end-to-end (one cast here, one
         # f32-accumulated cast at the readout) — see _conv for the measured
         # reason per-layer cast-backs lose
-        x = s.reshape(batch, *self.lattice_shape, 1).astype(
-            jnp.dtype(self.compute_dtype))
+        x = s.reshape(batch, *self.lattice_shape, 1).astype(cdt)
         z = x
         n_layers = len(self.channels)
         for i, c in enumerate(self.channels):

@@ -223,8 +223,9 @@ sampler: {n_walkers: 32, move: flip, n_therm_sweeps: 2}
 
 
 def test_bf16_compute_close_to_f32():
-    """bf16 conv operands (f32 accumulation): log psi within bf16 tolerance
-    of the f32 forward, same params."""
+    """bf16 end-to-end stack (cast at input, bf16 activations, f32
+    readout accumulation): log psi within bf16 tolerance of the f32
+    forward, same params."""
     model32 = LogPsiCNN(lattice_shape=(4, 4), channels=(8, 8))
     model16 = LogPsiCNN(lattice_shape=(4, 4), channels=(8, 8),
                         compute_dtype="bfloat16")
@@ -235,6 +236,45 @@ def test_bf16_compute_close_to_f32():
     assert b.re.dtype == jnp.float32  # outputs stay f32
     np.testing.assert_allclose(np.asarray(b.re), np.asarray(a.re),
                                rtol=2e-2, atol=5e-2)
+
+
+def test_bf16_complex_residual_close_to_f32():
+    """End-to-end bf16 through the complex Karatsuba convs + residual
+    skips (the hero-stack shapes): both log psi parts track f32, params
+    stay f32 (optimizer-visible precision untouched)."""
+    kw = dict(lattice_shape=(4, 4), channels=(6, 6, 6),
+              complex_params=True, residual=True, init_mode="fan_in",
+              activation="selu", param_scale=1.0)
+    model32 = LogPsiCNN(**kw)
+    model16 = LogPsiCNN(**kw, compute_dtype="bfloat16")
+    s = rand_spins(jax.random.key(2), 16, 16)
+    v = model32.init(jax.random.key(3), s)
+    for leaf in jax.tree_util.tree_leaves(v):
+        assert leaf.dtype == jnp.float32
+    a = model32.apply(v, s)
+    b = model16.apply(v, s)
+    assert b.re.dtype == jnp.float32 and b.im.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(b.re), np.asarray(a.re),
+                               rtol=2e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(b.im), np.asarray(a.im),
+                               rtol=2e-2, atol=7e-2)
+
+
+def test_bf16_cnn_excluded_from_pallas_backend():
+    """The fused Pallas sweep computes an f32 forward; a bf16 XLA stack
+    would take different accept decisions — auto must pick xla."""
+    from qmcnn_tpu import configs as cfglib
+    from qmcnn_tpu.builder import resolve_sampler_backend
+
+    base = dict(lattice=cfglib.LatticeConfig(shape=(4, 4)),
+                hamiltonian=cfglib.HamiltonianConfig(kind="tfim"),
+                sampler=cfglib.SamplerConfig(move="flip", backend="pallas"))
+    cfg16 = cfglib.Config(model=cfglib.ModelConfig(
+        channels=(4,), compute_dtype="bfloat16"), **base)
+    with np.testing.assert_raises(ValueError):
+        resolve_sampler_backend(cfg16)
+    cfg32 = cfglib.Config(model=cfglib.ModelConfig(channels=(4,)), **base)
+    assert resolve_sampler_backend(cfg32) == "pallas"
 
 
 def test_point_group_averaging():
