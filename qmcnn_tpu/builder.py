@@ -106,7 +106,8 @@ def build_model(cfg: Config, lattice: Lattice):
             raise ValueError(
                 "model.jastrow is incompatible with the autoregressive "
                 "ansatz: a configuration-dependent amplitude factor breaks "
-                "the exact-sampling normalization")
+                "the exact-sampling normalization (jastrow_phase — a pure "
+                "phase, |psi| untouched — composes fine)")
         sz_zero = resolve_arnn_sector(cfg)
         if sz_zero and lattice.n_sites % 2:
             raise ValueError("sz0 sector needs an even number of sites")
@@ -249,10 +250,11 @@ def _maybe_priors(inner, m, lattice):
     # state — see models/phase.py. The Jastrow factor and the phase priors
     # are both isometry-invariant and Z2-even, so their order (and their
     # placement relative to the projections) is mathematically irrelevant.
-    if m.jastrow:
+    if m.jastrow or m.jastrow_phase:
         from qmcnn_tpu.models.jastrow import wrap_jastrow
 
-        inner = wrap_jastrow(inner, lattice)
+        inner = wrap_jastrow(inner, lattice, amplitude=m.jastrow,
+                             phase=m.jastrow_phase)
     if not m.phase_bias:
         return inner
     from qmcnn_tpu.models.phase import PhaseBias, phase_half_angles
@@ -318,6 +320,8 @@ def model_log_psi_is_real(cfg: Config) -> bool:
     if m.momentum and any(m.momentum):
         return False
     if m.phase_bias:
+        return False
+    if m.jastrow_phase:
         return False
     return True
 
@@ -424,6 +428,7 @@ def resolve_sampler_backend(cfg: Config) -> str:
                  # not find them), and the jastrow factor changes |psi|
                  # itself — the fused kernel would sample the bare CNN
                  and not cfg.model.jastrow
+                 and not cfg.model.jastrow_phase
                  and not cfg.model.phase_bias
                  # the fused kernel computes its f32 circulant forward;
                  # an end-to-end bf16 XLA stack would make different

@@ -89,6 +89,13 @@ class ModelConfig:
     #: zero-initialized (identity at init), one extra [M,N]x[N,N] matmul
     #: per forward. Any kind except 'arnn' (breaks exact sampling).
     jastrow: bool = False
+    #: learnable two-body PAIR PHASES: the same distance-shell quadratic
+    #: form on the imaginary part, exp(i/2 sum u_c s_i s_j) — a trainable
+    #: diagonal sign structure (Huse-Elser two-body term), the rung past
+    #: the fixed 120-degree phase_bias priors. |psi| is untouched, so it
+    #: composes with every sampler INCLUDING the ARNN's exact one; makes
+    #: log psi complex (real-model SR fast path disqualifies itself).
+    jastrow_phase: bool = False
     #: ARNN-only (kind='arnn'; channels are the masked hidden widths, and
     #: the default 'lncosh' activation is upgraded to 'selu' — lncosh is
     #: even, which wastes the masked stack's sign information):

@@ -29,14 +29,34 @@ The Cartesian site embedding and torus translation vectors come from
 ``Lattice.site_positions`` / ``Lattice.primitive_spans`` (lattice.py owns
 the geometry conventions); this module only buckets distances.
 
+Pair phases (``phase=True``, config ``model.jastrow_phase``). The same
+quadratic form with an independent coupling vector u multiplies psi by
+exp(i/2 sum u_{c(i,j)} s_i s_j) — a LEARNABLE diagonal sign/phase
+structure (the two-body term of Huse-Elser wavefunctions, PRL 60:2531),
+the natural next rung past the fixed 120-degree priors of
+models/phase.py on the frustrated lattices where those saturate. |psi|
+is untouched, so sampling distributions are exactly preserved; u is
+zero-initialized like v. Enabling it makes log psi complex for all
+parameter values, so the builder's real-model SR fast path disqualifies
+itself (model_log_psi_is_real).
+
+Saddle caveat: at u = 0 over a REAL state, dE/du = i<[H, Q]> = 0
+identically (E is even under conjugation), so u = 0 is a stationary
+point for exactly-real inner models. MC gradient noise escapes it in
+practice, but deterministic/full-sum training from a real state stalls
+(tested); pair the factor with a complex inner or a phase prior — the
+production frustrated recipes (phase_bias=sublattice_120,
+complex_params) all have im != 0 — or perturb u at warm-start.
+
 Reference parity note: SURVEY.md's reference (pure CNN ansatz) has no
 Jastrow; this is beyond-parity capability — the standard baseline
 correlator of the wider VMC literature, and a cheap amplitude-structure
 booster for the frustrated lattices where the plain CNN saturates.
 
-Not available for the autoregressive ansatz: multiplying a normalized
-|psi|^2 by a configuration-dependent factor breaks the exact-sampling
-contract (the builder rejects the combination).
+The amplitude factor is not available for the autoregressive ansatz
+(a configuration-dependent |psi| factor breaks the exact-sampling
+normalization; the builder rejects it) — but the PURE PHASE factor is:
+|psi|^2 is unchanged, so ancestral sampling stays exact.
 """
 from __future__ import annotations
 
@@ -88,33 +108,46 @@ def distance_classes(lattice: Lattice) -> Tuple[np.ndarray, int]:
 
 
 class Jastrow(nn.Module):
-    """log psi(s) = inner(s) + 1/2 sum_{ij} v[class(i, j)] s_i s_j.
+    """log psi(s) = inner(s) + (1/2) (v + i u)[class(i, j)] s_i s_j sums.
 
-    A real amplitude factor: only the real part of the log-amplitude
-    shifts, and ``v`` starts at zero (exact identity at init). The class
-    matrix is stored as nested tuples so the module stays a hashable
-    static dataclass; it is rebuilt as a constant at trace time.
+    ``amplitude`` adds the real coupling vector v (pair amplitudes);
+    ``phase`` adds the independent imaginary coupling vector u (pair
+    phases — |psi| untouched). Both start at zero (exact identity at
+    init). The class matrix is stored as nested tuples so the module
+    stays a hashable static dataclass; it is rebuilt as a constant at
+    trace time.
     """
 
     inner: nn.Module
     class_matrix: Tuple[Tuple[int, ...], ...]
     n_shells: int
+    amplitude: bool = True
+    phase: bool = False
 
     @nn.compact
     def __call__(self, s: Array) -> C:
         out = cplx.as_c(self.inner(s))
-        v = self.param("v", nn.initializers.zeros, (self.n_shells,),
-                       jnp.float32)
         cm = jnp.asarray(np.asarray(self.class_matrix, np.int32))
-        # sentinel diagonal class -> coupling 0 (padded slot)
-        w = jnp.concatenate([v, jnp.zeros((1,), jnp.float32)])[cm]  # [N, N]
         sf = s.reshape(s.shape[0], -1).astype(jnp.float32)
-        quad = 0.5 * jnp.einsum("bi,ij,bj->b", sf, w, sf)
-        return C(out.re + quad, out.im)
+
+        def quad(coups):
+            # sentinel diagonal class -> coupling 0 (padded slot)
+            w = jnp.concatenate([coups, jnp.zeros((1,), jnp.float32)])[cm]
+            return 0.5 * jnp.einsum("bi,ij,bj->b", sf, w, sf)
+
+        re, im = out.re, out.im
+        if self.amplitude:
+            re = re + quad(self.param("v", nn.initializers.zeros,
+                                      (self.n_shells,), jnp.float32))
+        if self.phase:
+            im = im + quad(self.param("u", nn.initializers.zeros,
+                                      (self.n_shells,), jnp.float32))
+        return C(re, im)
 
 
-def wrap_jastrow(inner: nn.Module, lattice: Lattice) -> nn.Module:
+def wrap_jastrow(inner: nn.Module, lattice: Lattice,
+                 amplitude: bool = True, phase: bool = False) -> nn.Module:
     cm, n_shells = distance_classes(lattice)
     return Jastrow(inner=inner,
                    class_matrix=tuple(map(tuple, cm.tolist())),
-                   n_shells=n_shells)
+                   n_shells=n_shells, amplitude=amplitude, phase=phase)

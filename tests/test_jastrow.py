@@ -251,3 +251,166 @@ def test_warm_start_from_bare_checkpoint_params():
     # reverse: bare target from a jastrow-wrapped source
     merged2, n2, _ = transfer_params(bare, wrapped)
     assert n2 == n_bare
+
+
+# ----------------------------------------------------------- pair phases
+@pytest.mark.parametrize("lat", [square(4), triangular(3, 3)],
+                         ids=lambda l: l.geometry)
+def test_phase_factor_oracle_and_amplitude_preserved(lat):
+    """jastrow_phase: the imaginary shift equals the explicit pair sum
+    and |psi| (the real part) is bit-identical to the inner model."""
+    inner = _ScalarInner()
+    wrapped = wrap_jastrow(inner, lat, amplitude=False, phase=True)
+    s = _random_s(jax.random.key(8), lat, batch=5)
+    vi = inner.init(jax.random.key(9), s)
+    vw = wrapped.init(jax.random.key(9), s)
+    assert "u" in vw["params"] and "v" not in vw["params"]
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=vw["params"]["u"].shape).astype(np.float32)
+    variables = {"params": {"inner": vi["params"], "u": jnp.asarray(u)}}
+    out_w = log_psi_apply(wrapped, variables, s)
+    out_i = log_psi_apply(inner, vi, s)
+    np.testing.assert_array_equal(np.asarray(out_w.re), np.asarray(out_i.re))
+    cm, _ = distance_classes(lat)
+    sn = np.asarray(s)
+    want = np.zeros(s.shape[0])
+    for b in range(s.shape[0]):
+        acc = 0.0
+        for i in range(lat.n_sites):
+            for j in range(lat.n_sites):
+                if i != j:
+                    acc += 0.5 * u[cm[i, j]] * sn[b, i] * sn[b, j]
+        want[b] = acc
+    np.testing.assert_allclose(np.asarray(out_w.im) - np.asarray(out_i.im),
+                               want, rtol=2e-5, atol=2e-5)
+
+
+def test_builder_phase_wiring():
+    """jastrow_phase wires through the builder, disqualifies the
+    real-log-psi SR fast path, and composes with the ARNN (pure phase
+    preserves the exact-sampling normalization)."""
+    from qmcnn_tpu.builder import model_log_psi_is_real
+
+    lat = square(4)
+    cfg = Config(name="t", lattice=LatticeConfig(shape=(4, 4)),
+                 model=ModelConfig(kind="cnn", channels=(4,),
+                                   jastrow_phase=True))
+    model = build_model(cfg, lat)
+    s = _random_s(jax.random.key(10), lat)
+    variables = model.init(jax.random.key(11), s)
+    flat = jax.tree_util.tree_leaves_with_path(variables)
+    assert any("'u'" in jax.tree_util.keystr(p) for p, _ in flat)
+    assert not any("'v'" in jax.tree_util.keystr(p) for p, _ in flat)
+    assert not model_log_psi_is_real(cfg)
+
+    arnn = Config(name="t", lattice=LatticeConfig(shape=(4, 4)),
+                  model=ModelConfig(kind="arnn", channels=(8,),
+                                    jastrow_phase=True))
+    build_model(arnn, lat)  # must not raise
+
+
+def test_phase_zero_is_a_saddle_for_real_states():
+    """Design fact the docstring documents: at u = 0 over a REAL state
+    the pair-phase gradient vanishes identically (E(u) is even under
+    conjugation: dE/du = i<[H, Q]> = 0), so deterministic training from
+    a real inner never moves u. Verified exactly by full-sum autodiff."""
+    from qmcnn_tpu.configs import HamiltonianConfig
+    from qmcnn_tpu.ops import exact
+
+    lat = triangular(3, 3)
+    n = lat.n_sites
+    h_d = jnp.asarray(
+        exact.sparse_heisenberg(n, lat.nn_bonds).toarray(), jnp.float32)
+    states = jnp.asarray(exact._spins(n), jnp.float32)
+    cfg = Config(name="t", lattice=LatticeConfig(shape=(3, 3),
+                                                 geometry="triangular"),
+                 model=ModelConfig(kind="cnn", channels=(4,), kernel_size=3,
+                                   init_mode="fan_in", activation="selu",
+                                   param_scale=1.0, jastrow_phase=True),
+                 hamiltonian=HamiltonianConfig(kind="heisenberg"))
+    model = build_model(cfg, lat)
+    params = model.init(jax.random.key(12), states[:1])
+
+    def energy(p):
+        out = log_psi_apply(model, p, states)
+        m = jnp.max(out.re)
+        pr = jnp.exp(out.re - m) * jnp.cos(out.im)
+        pi = jnp.exp(out.re - m) * jnp.sin(out.im)
+        num = pr @ (h_d @ pr) + pi @ (h_d @ pi)
+        return num / (pr @ pr + pi @ pi)
+
+    g = jax.grad(energy)(params)
+    np.testing.assert_allclose(np.asarray(g["params"]["u"]), 0.0, atol=1e-7)
+    # conv gradients are NOT zero — only the phase direction is the saddle
+    gnorm = sum(float(jnp.abs(leaf).sum())
+                for leaf in jax.tree_util.tree_leaves(g["params"]["inner"]))
+    assert gnorm > 1e-3
+
+
+def test_phase_breaks_the_positive_ansatz_floor():
+    """Frustrated oracle: on the J1-J2 chain past the Majumdar-Ghosh
+    point the ground-state sign structure is NOT Marshall, so a sign-free
+    ansatz (real CNN + amplitude Jastrow) has a variational floor
+    strictly above E0; learnable pair phases must break through it.
+    Full-sum Rayleigh quotient in the S^z = 0 sector (the unrestricted
+    basis lets adam park on the polarized eigenstate — measured),
+    matched adam budgets, deterministic; u is perturbed off its saddle
+    (see test above) exactly as a warm start from a real checkpoint
+    would be."""
+    import optax
+
+    from qmcnn_tpu.configs import HamiltonianConfig
+    from qmcnn_tpu.ops import exact
+    from qmcnn_tpu.ops.tdvp import all_states
+
+    lat = chain(8)
+    n, j2 = lat.n_sites, 0.6
+    h_full = exact.sparse_heisenberg(n, lat.nn_bonds,
+                                     nnn_bonds=lat.nnn_bonds,
+                                     j2=j2).toarray()
+    states_np = all_states(n, sz_zero=True)
+    ix = ((states_np + 1) // 2 @ (1 << np.arange(n))).astype(np.int64)
+    h_d = jnp.asarray(h_full[np.ix_(ix, ix)], jnp.float32)
+    states = jnp.asarray(states_np, jnp.float32)
+
+    def run(phase: bool, steps=400):
+        cfg = Config(name="t", lattice=LatticeConfig(shape=(n,)),
+                     model=ModelConfig(kind="cnn", channels=(6, 6),
+                                       kernel_size=3, init_mode="fan_in",
+                                       activation="selu", param_scale=1.0,
+                                       jastrow=True, jastrow_phase=phase),
+                     hamiltonian=HamiltonianConfig(kind="j1j2", j2=j2))
+        model = build_model(cfg, lat)
+        params = model.init(jax.random.key(12), states[:1])
+        if phase:
+            u0 = 0.05 * jax.random.normal(jax.random.key(13),
+                                          params["params"]["u"].shape)
+            params = {"params": {**params["params"], "u": u0}}
+
+        def energy(p):
+            out = log_psi_apply(model, p, states)
+            m = jnp.max(out.re)
+            pr = jnp.exp(out.re - m) * jnp.cos(out.im)
+            pi = jnp.exp(out.re - m) * jnp.sin(out.im)
+            num = pr @ (h_d @ pr) + pi @ (h_d @ pi)
+            return num / (pr @ pr + pi @ pi)
+
+        opt = optax.adam(0.01)  # 0.03+ collapses onto product states
+        ostate = opt.init(params)
+
+        @jax.jit
+        def gd(p, o):
+            e, g = jax.value_and_grad(energy)(p)
+            up, o = opt.update(g, o)
+            return optax.apply_updates(p, up), o, e
+
+        for _ in range(steps):
+            params, ostate, e = gd(params, ostate)
+        return float(energy(params))
+
+    e_amp = run(phase=False)
+    e_phase = run(phase=True)
+    e0 = float(np.linalg.eigvalsh(np.asarray(h_d, np.float64))[0])
+    # measured: amp floor -1.1996, phase arm -2.20, E0 -3.09
+    assert e_phase < e_amp - 0.3, (e_amp, e_phase, e0)
+    assert e_phase > e0 - 1e-4  # still variational
