@@ -92,34 +92,35 @@ def measure_rate(passes: int = 5, compute_dtype: str = "float32") -> float:
     """Sweeps/sec via length differencing (dispatch cost cancelled).
 
     The tunnel adds tens-of-ms latency spikes on individual dispatches
-    (measured band on identical code: 137k-307k with mean-of-3 timing),
-    so each timing point takes the MIN over reps — every call does
-    identical device work, so the minimum is the least tunnel-contaminated
-    sample — and the whole differencing pass repeats `passes` times,
-    keeping the best rate. Post-compile passes are sub-second on TPU, so
-    the repeats are free; the CPU baseline path uses passes=1 (a long
-    pass costs minutes there).
+    (measured band on identical code: 137k-307k with mean-of-3 timing).
+    Every call at a given length does identical device work, so the MIN
+    over all samples of a timing point is its least tunnel-contaminated
+    estimate; the rate comes from ONE difference of the two per-point
+    minima. (Taking the max over per-pass differences instead would be
+    two-sided: a pass whose short point stayed contaminated while its
+    long point came out clean undershoots the difference, and the max
+    would select exactly those passes.) Post-compile calls are
+    sub-second on TPU so the repeats are free; the CPU baseline path
+    uses passes=1 (a long call costs minutes there).
     """
     run, state, key, props_per_sweep = build_sweep_fn(compute_dtype)
 
-    def timed(n_sweeps, reps=3):
+    def timed_samples(n_sweeps, reps):
         n = n_sweeps * props_per_sweep
         float(run(state, key, n))  # compile (first call) + warm
-        best = float("inf")
+        out = []
         for _ in range(reps):
             t0 = time.perf_counter()
             float(run(state, key, n))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            out.append(time.perf_counter() - t0)
+        return out
 
-    best_rate = 0.0
-    for _ in range(max(1, passes)):
-        t_short = timed(SWEEPS_SHORT)
-        t_long = timed(SWEEPS_LONG)
-        dt_per_sweep = max(
-            (t_long - t_short) / (SWEEPS_LONG - SWEEPS_SHORT), 1e-9)
-        best_rate = max(best_rate, N_WALKERS / dt_per_sweep)
-    return best_rate  # walker-sweeps per second
+    reps = 3 * max(1, passes)
+    t_short = min(timed_samples(SWEEPS_SHORT, reps))
+    t_long = min(timed_samples(SWEEPS_LONG, reps))
+    dt_per_sweep = max(
+        (t_long - t_short) / (SWEEPS_LONG - SWEEPS_SHORT), 1e-9)
+    return N_WALKERS / dt_per_sweep  # walker-sweeps per second
 
 
 def workload_fingerprint() -> str:

@@ -150,12 +150,12 @@ def quench_spectrum_cli(args) -> list:
             print(f"--- {path}")
         t_total = times[-1] - times[0]
         print(f"rows={times.size}  T={t_total:.3f}  "
-              f"d_omega={2 * 3.141592653589793 / t_total:.4f} "
+              f"d_omega={2 * np.pi / t_total:.4f} "
               f"(pad x{args.pad})")
         shown = table if args.top is None else table[:args.top]
         print(f"{'k':>12}  {'q/pi':>18}  {'omega':>10}  {'power':>12}")
         for row in shown:
-            qs = ",".join(f"{q / 3.141592653589793:.3f}" for q in row["q"])
+            qs = ",".join(f"{q / np.pi:.3f}" for q in row["q"])
             ks = ",".join(str(k) for k in row["k"])
             print(f"{ks:>12}  {qs:>18}  {row['omega']:>10.4f}  "
                   f"{row['power']:>12.4g}")

@@ -122,7 +122,7 @@ def build_model(cfg: Config, lattice: Lattice):
             from qmcnn_tpu.models.phase import phase_half_angles
 
             half = phase_half_angles(m.phase_bias, lattice)
-        return LogPsiARNN(
+        arnn = LogPsiARNN(
             n_sites=lattice.n_sites,
             hidden=tuple(m.channels),
             complex_params=m.complex_params,
@@ -133,6 +133,14 @@ def build_model(cfg: Config, lattice: Lattice):
             lattice_shape=tuple(lattice.shape),
             phase_half_angles=half,
         )
+        if m.jastrow_phase:
+            # a pure phase preserves |psi|^2, so exact ancestral sampling
+            # survives the wrapper; the sampler reaches the inner ARNN's
+            # conditionals through it (build()'s DirectSampler adapter)
+            from qmcnn_tpu.models.jastrow import wrap_jastrow
+
+            return wrap_jastrow(arnn, lattice, amplitude=False, phase=True)
+        return arnn
     if m.kind == "gcnn":
         from qmcnn_tpu.models.gcnn import LogPsiGCNN
 
@@ -475,9 +483,24 @@ def build(cfg: Config, axis_name: Optional[str] = None
             raise ValueError("tempering_betas is a Metropolis mixing aid — "
                              "exact ancestral sampling draws i.i.d. "
                              "samples and needs no tempering")
+        from qmcnn_tpu.models.jastrow import Jastrow
+
+        if isinstance(model, Jastrow):
+            # jastrow_phase-wrapped ARNN: the pure-phase factor leaves
+            # |psi|^2 untouched, so sampling uses the INNER conditionals
+            # (params nest under 'inner/'); log_psi_fn stays the wrapped
+            # model so estimators see the pair phases
+            inner_arnn = model.inner
+
+            def cond_fn(variables, s):
+                return inner_arnn.apply(
+                    {"params": variables["params"]["inner"]}, s,
+                    method="conditional_log_probs")
+        else:
+            cond_fn = conditional_fn(model)
         sampler = DirectSampler(
             log_psi_fn,
-            conditional_fn(model),
+            cond_fn,
             n_sites=lattice.n_sites,
             sz_zero=resolve_arnn_sector(cfg),
         )

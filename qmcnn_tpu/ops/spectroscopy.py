@@ -93,8 +93,16 @@ def quench_spectrum(times: np.ndarray, s_qt: np.ndarray, pad: int = 8,
     dts = np.diff(times)
     dt = float(np.median(dts))
     if not np.allclose(dts, dt, rtol=1e-3, atol=1e-9):
-        raise ValueError("time grid is not uniform; re-log with fixed "
-                         "log_every")
+        # evolve force-writes the final row at it+1 == n_steps even when
+        # it falls off the log_every grid — trim ONE off-grid trailing
+        # row before giving up
+        if times.size > 8 and np.allclose(dts[:-1], dt, rtol=1e-3,
+                                          atol=1e-9):
+            times = times[:-1]
+            s_qt = s_qt[:-1]
+        else:
+            raise ValueError("time grid is not uniform; re-log with "
+                             "fixed log_every")
     t_len = times.size
     qshape = s_qt.shape[1:]
     sig = s_qt - s_qt.mean(axis=0, keepdims=True)
@@ -136,9 +144,10 @@ def dominant_frequencies(times: np.ndarray, corr: np.ndarray,
     """End-to-end: corr history -> per-momentum dominant frequency table.
 
     Momenta come in +-q pairs with identical real spectra (C(r) = C(-r));
-    only the canonical half-zone (k <= L/2 per axis, lexicographic first
-    occurrence) is reported. Entries are sorted by peak power so the
-    physically loudest modes lead.
+    one representative per {k, -k} pair is reported (the lexicographically
+    smaller index tuple). ``q`` components are mapped to the symmetric
+    zone (-pi, pi]. Entries are sorted by peak power so the physically
+    loudest modes lead.
     """
     s_qt = structure_factor_qt(corr, shape)
     spec = quench_spectrum(times, s_qt, pad=pad, min_omega=min_omega)
@@ -150,7 +159,8 @@ def dominant_frequencies(times: np.ndarray, corr: np.ndarray,
         if canon in seen:
             continue
         seen.add(canon)
-        q = tuple(2.0 * np.pi * k / L for k, L in zip(canon, shape))
+        q = tuple(2.0 * np.pi * (k - L if k > L // 2 else k) / L
+                  for k, L in zip(canon, shape))
         out.append({
             "k": canon,
             "q": q,

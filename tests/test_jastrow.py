@@ -309,6 +309,45 @@ def test_builder_phase_wiring():
     build_model(arnn, lat)  # must not raise
 
 
+def test_arnn_pair_phase_preserves_exact_sampling():
+    """jastrow_phase on the ARNN: the builder wraps the model (so
+    estimators see the pair phases: a 'u' param exists and Im log psi
+    moves with it) while |psi| and the exact normalization are
+    bit-untouched — and the DirectSampler still reaches the inner
+    conditionals through the wrapper."""
+    from qmcnn_tpu.builder import build
+    from qmcnn_tpu.configs import HamiltonianConfig
+    from qmcnn_tpu.ops.tdvp import all_states
+
+    n = 8
+    cfg = Config(name="t", lattice=LatticeConfig(shape=(n,)),
+                 model=ModelConfig(kind="arnn", channels=(16,),
+                                   complex_params=True, jastrow_phase=True),
+                 hamiltonian=HamiltonianConfig(kind="heisenberg"))
+    vmc, params, lat = build(cfg)
+    assert "u" in params["params"]
+
+    states = jnp.asarray(all_states(n, sz_zero=True), jnp.float32)
+    out0 = vmc.log_psi_fn(params, states)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=params["params"]["u"].shape)
+                    .astype(np.float32))
+    params_u = {"params": {**params["params"], "u": u}}
+    out1 = vmc.log_psi_fn(params_u, states)
+    # |psi| untouched, phases moved
+    np.testing.assert_array_equal(np.asarray(out1.re), np.asarray(out0.re))
+    assert np.max(np.abs(np.asarray(out1.im) - np.asarray(out0.im))) > 0.01
+    # exact normalization survives (the ARNN's defining contract)
+    norm = float(np.exp(2.0 * np.asarray(out1.re, np.float64)).sum())
+    np.testing.assert_allclose(norm, 1.0, rtol=1e-4)
+    # the sampler runs through the wrapper (conditionals reached via
+    # the 'inner' params) and stays in the sector
+    state = vmc.init_state(jax.random.key(0), 64, params_u)
+    state = vmc.thermalize(state, jax.random.key(1), jnp.arange(64),
+                           n_sweeps=1)
+    assert np.all(np.asarray(state.walkers.s).sum(axis=1) == 0)
+
+
 def test_phase_zero_is_a_saddle_for_real_states():
     """Design fact the docstring documents: at u = 0 over a REAL state
     the pair-phase gradient vanishes identically (E(u) is even under

@@ -144,6 +144,13 @@ def test_quench_spectrum_input_validation(tmp_path):
     bad_times[10] += 0.7 * (times[1] - times[0])
     with np.testing.assert_raises(ValueError):
         quench_spectrum(bad_times, structure_factor_qt(corr, (16,)))
+    # evolve force-writes the final row off the log_every grid: a single
+    # off-grid TRAILING row is trimmed, not rejected
+    tail_times = times.copy()
+    tail_times[-1] = times[-2] + 0.4 * (times[1] - times[0])
+    spec = quench_spectrum(tail_times, structure_factor_qt(corr, (16,)))
+    ref = quench_spectrum(times[:-1], structure_factor_qt(corr[:-1], (16,)))
+    np.testing.assert_allclose(spec["peak_omega"], ref["peak_omega"])
     p = tmp_path / "empty.csv"
     p.write_text("t,c0,c1\n")
     with np.testing.assert_raises(ValueError):
