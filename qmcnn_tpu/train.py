@@ -287,7 +287,38 @@ def train(cfg, ckpt_manager=None, logger=None):
             print(f"exact: {e_exact:.6f}  relative error: {rel:.3e}")
         if cfg.run.csv_path:
             _write_manifest(cfg, e_tail, e_err, e_exact, n_sites)
+            _write_snapshot(cfg, state)
     return state, logger
+
+
+def _write_snapshot(cfg, state) -> None:
+    """Auto-export final params (and EMA, if on) as '<csv_path>.params.npz'.
+
+    Orbax checkpoint trees under runs/*_ckpt/ are gitignored and die with
+    the VM — three hero warm-start chains were lost that way this round,
+    each costing hours of retraining on the tunneled chip. The flat .npz
+    (a few hundred KB per hero) is committable, and ``run.init_from`` /
+    ``utils/transfer.py`` accept it directly, so every finished run is now
+    a durable warm-start point without a manual ``qmcnn_tpu.export`` step.
+    Best-effort: never fails the run."""
+    try:
+        from qmcnn_tpu.utils.transfer import _flatten
+
+        base = cfg.run.csv_path
+        for field, tree in (("params", state.params), ("ema", state.ema)):
+            if tree is None:
+                continue
+            flat = {k: np.asarray(v) for k, v in _flatten(tree).items()}
+            if not flat:
+                continue
+            path = base + (".params.npz" if field == "params"
+                           else ".ema.npz")
+            np.savez(path, **flat)
+            n_mb = sum(v.nbytes for v in flat.values()) / 1e6
+            print(f"# snapshot: {len(flat)} {field} leaves "
+                  f"({n_mb:.2f} MB) -> {path}", flush=True)
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"# snapshot write failed: {e}", flush=True)
 
 
 def _write_manifest(cfg, e_tail, e_err, e_exact, n_sites) -> None:

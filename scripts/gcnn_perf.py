@@ -9,7 +9,11 @@ the full step (the BASELINE.md metric) for easy A/B (f32 vs bf16,
 jacobian chunk settings, etc).
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -95,3 +95,22 @@ def test_bad_out_suffix_rejected(trained_ckpt, tmp_path):
     ckpt_dir, _ = trained_ckpt
     with pytest.raises(ValueError, match="npz"):
         export_params(ckpt_dir, str(tmp_path / "p.pkl"))
+
+
+def test_auto_snapshot_on_csv_runs(tmp_path):
+    """train() with run.csv_path auto-writes '<csv>.params.npz' (and
+    '.ema.npz' when ema_decay is on) loadable by the transfer machinery —
+    the end-of-run export that makes hero warm-start chains survive VM
+    death without a manual qmcnn_tpu.export step."""
+    csv = str(tmp_path / "run.csv")
+    cfg = cfglib.apply_overrides(cfglib.from_yaml(BASE),
+                                 [f"run.csv_path={csv}"])
+    state, _ = train(cfg)
+    snap = _flatten(load_checkpoint_params(csv + ".params.npz"))
+    want = _flatten(jax.tree_util.tree_map(np.asarray, state.params))
+    assert set(snap) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(snap[k], want[k])
+    ema = _flatten(load_checkpoint_params(csv + ".ema.npz"))
+    assert set(ema) == set(want)
+    assert any(not np.allclose(ema[k], snap[k]) for k in snap)
