@@ -49,6 +49,43 @@ def _platform_is_cpu() -> bool:
     return bool(req) and req != "axon" and "tpu" not in req
 
 
+def _flock_holder_pid(path: str) -> Optional[int]:
+    """Pid holding the flock on ``path``, from /proc/locks (Linux only).
+
+    The pid WRITTEN INTO the lock file is unreliable here: a bare
+    ``flock <file> cmd`` wrapper holds the kernel lock without ever
+    writing its pid, leaving a previous holder's line in the file."""
+    try:
+        st = os.stat(path)
+        with open("/proc/locks") as pl:
+            for line in pl:
+                parts = line.split()
+                # "N: FLOCK ADVISORY WRITE <pid> <maj>:<min>:<ino> 0 EOF"
+                if len(parts) >= 6 and parts[1] == "FLOCK":
+                    if int(parts[5].split(":")[2]) == st.st_ino:
+                        return int(parts[4])
+    except (OSError, ValueError, IndexError):
+        pass
+    return None
+
+
+def _is_ancestor(pid: int) -> bool:
+    """True when ``pid`` is this process or one of its ancestors."""
+    try:
+        cur = os.getpid()
+        for _ in range(64):
+            if cur == pid:
+                return True
+            if cur <= 1:
+                return False
+            with open(f"/proc/{cur}/stat") as f:
+                # ppid is the 2nd field after the ')' closing comm
+                cur = int(f.read().rsplit(")", 1)[1].split()[1])
+    except (OSError, ValueError, IndexError):
+        pass
+    return False
+
+
 def acquire_chip_lock(wait_s: float = 10800.0, poll_s: float = 5.0,
                       log=print) -> Optional[TextIO]:
     """Acquire the single-chip lock; returns the held file (keep it alive).
@@ -79,6 +116,16 @@ def acquire_chip_lock(wait_s: float = 10800.0, poll_s: float = 5.0,
             if e.errno not in (errno.EAGAIN, errno.EACCES):
                 log(f"chip-lock: flock failed ({e}) — proceeding unlocked")
                 return f  # keep fd open; harmless
+        holder_pid = _flock_holder_pid(path)
+        if holder_pid is not None and _is_ancestor(holder_pid):
+            # e.g. the CLI was wrapped in a bare `flock <file> cmd`:
+            # the reservation is already ours — blocking on it would
+            # deadlock the run against its own wrapper (observed with a
+            # hand-rolled pipeline wrapper, ninth r2 session).
+            log(f"chip-lock: held by ancestor pid={holder_pid} — "
+                "treating as already reserved", flush=True)
+            f.close()
+            return None
         if not warned:
             try:
                 f.seek(0)

@@ -26,13 +26,13 @@ def test_acquire_and_release(lockpath):
     f = chip_lock.acquire_chip_lock(wait_s=1.0, log=lambda *a, **k: logs.append(a))
     assert f is not None
     assert f"pid={os.getpid()}" in open(lockpath).read()
-    # a second attempt in the same process (fresh fd) must NOT get it
+    # a second attempt in the same process is re-entrant: the holder is
+    # ourselves (an "ancestor"), so acquire no-ops instead of waiting
     f2 = chip_lock.acquire_chip_lock(wait_s=0.0, poll_s=0.05,
                                      log=lambda *a, **k: logs.append(a))
-    assert f2 is not None  # proceeds unlocked after the bounded wait...
-    assert any("WITHOUT the lock" in str(a) for a in logs)  # ...loudly
+    assert f2 is None
+    assert any("ancestor" in str(a) for a in logs)
     f.close()  # release
-    f2.close()
     f3 = chip_lock.acquire_chip_lock(wait_s=1.0, log=print)
     assert f3 is not None
     f3.close()
@@ -83,3 +83,28 @@ def test_contention_resolves_when_holder_dies(lockpath):
     f = chip_lock.acquire_chip_lock(wait_s=2.0, log=print)
     assert f is not None
     f.close()
+
+
+def test_ancestor_holder_is_treated_as_reserved(lockpath):
+    """A CLI wrapped in a bare `flock <file> cmd` must not deadlock on its
+    own wrapper: when the flock holder is an ancestor process, acquire
+    treats the chip as already reserved (returns None, like ENV_HELD)."""
+    import subprocess
+    import sys
+
+    f = chip_lock.acquire_chip_lock(wait_s=1.0)  # we (the ancestor) hold it
+    assert f is not None
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "from qmcnn_tpu.utils.chip_lock import acquire_chip_lock; "
+             "r = acquire_chip_lock(wait_s=5.0, poll_s=0.05); "
+             "print('reserved' if r is None else 'locked')"],
+            capture_output=True, text=True, timeout=30,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env={**os.environ, chip_lock.ENV_PATH: lockpath,
+                 "JAX_PLATFORMS": ""})
+        assert out.stdout.strip().splitlines()[-1] == "reserved", out.stdout
+        assert "ancestor" in out.stdout
+    finally:
+        f.close()
