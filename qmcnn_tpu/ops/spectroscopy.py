@@ -51,7 +51,18 @@ def read_corr_csv(path: str) -> tuple[np.ndarray, np.ndarray]:
             rows.append(vals[1:])
     if not rows:
         raise ValueError(f"{path}: no complete correlation rows")
-    return np.asarray(times), np.asarray(rows)
+    t, c = np.asarray(times), np.asarray(rows)
+    # a t-VMC run that hits its capacity limit NaNs from some step on
+    # (e.g. the chain-12 full-sum quench blew up at t~1.8); the history
+    # BEFORE the blowup is valid dynamics — keep it, drop the rest.
+    finite = np.isfinite(c).all(axis=1) & np.isfinite(t)
+    if not finite.all():
+        cut = int(np.argmin(finite))  # first bad row
+        if cut == 0:
+            raise ValueError(f"{path}: correlation history is non-finite "
+                             "from the first row")
+        t, c = t[:cut], c[:cut]
+    return t, c
 
 
 def structure_factor_qt(corr: np.ndarray, shape: tuple[int, ...]) -> np.ndarray:

@@ -240,3 +240,25 @@ def test_evolve_corr_to_spectrum_end_to_end(tmp_path):
         np.testing.assert_allclose(got[k]["omega"], w["omega"], rtol=0.08)
         checked += 1
     assert checked >= 2
+
+
+def test_read_corr_csv_truncates_at_first_nan_row(tmp_path):
+    """A capacity-limit blowup NaNs the tail of a t-VMC corr history; the
+    loader keeps the valid prefix (observed: chain-12 full-sum quench,
+    NaN from t~1.8) and refuses an all-NaN file."""
+    from qmcnn_tpu.ops.spectroscopy import read_corr_csv
+
+    p = tmp_path / "c.csv"
+    p.write_text("t,c0,c1\n"
+                 "0.0,1.0,0.5\n"
+                 "0.1,0.9,0.4\n"
+                 "0.2,nan,nan\n"
+                 "0.3,nan,nan\n")
+    t, c = read_corr_csv(str(p))
+    assert t.shape == (2,) and c.shape == (2, 2)
+    assert np.isfinite(c).all() and t[-1] == 0.1
+
+    bad = tmp_path / "allnan.csv"
+    bad.write_text("t,c0,c1\nnan,nan,nan\n")
+    with np.testing.assert_raises(ValueError):
+        read_corr_csv(str(bad))
