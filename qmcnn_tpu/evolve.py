@@ -246,6 +246,17 @@ def evolve(cfg, mode: str = "imag", dt: float = 0.01, n_steps: int = 100,
             for k, v in obs.items():
                 row[k] = float(np.asarray(v))
             logger.log(it + 1, row)
+            if not np.isfinite(row["energy_re"]):
+                # capacity blowups are terminal for TDVP (the parameter
+                # state itself is non-finite; there is no rollback
+                # semantics mid-trajectory) — the chain-12 full-sum
+                # quench burned ~7 min of chip stepping NaNs after its
+                # t~1.8 wall. The history up to here is valid dynamics
+                # (read_corr_csv trims the rest).
+                print(f"# non-finite state at t={row['t']:.4f} "
+                      f"(step {it + 1}) — halting the trajectory",
+                      flush=True)
+                break
     if corr_file is not None:
         corr_file.close()
     logger.close()

@@ -294,3 +294,29 @@ def test_evolve_corr_csv_tracks_correlations(tmp_path):
         want[r] = acc / n
     got = np.array([rows[c][0] for c in cols])
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_evolve_halts_on_nonfinite_state(tmp_path):
+    """A capacity/stiffness blowup must end the trajectory at the first
+    non-finite logged row instead of stepping NaNs to n_steps (the
+    chain-12 full-sum quench burned ~7 min of chip doing that)."""
+    from qmcnn_tpu import configs as cfglib
+    from qmcnn_tpu.evolve import evolve
+
+    cfg = cfglib.Config(
+        lattice=cfglib.LatticeConfig(shape=(6,)),
+        model=cfglib.ModelConfig(kind="rbm", rbm_alpha=2,
+                                 rbm_tie_translations=False,
+                                 param_scale=0.05),
+        hamiltonian=cfglib.HamiltonianConfig(kind="tfim", h=1.0),
+        run=cfglib.RunConfig(seed=1, chunk_size=None),
+    )
+    csv = str(tmp_path / "blowup.csv")
+    # real-time Euler at an absurd dt diverges within a few steps
+    evolve(cfg, mode="real", dt=50.0, n_steps=200, solver="dense",
+           integrator="euler", sampling="fullsum", csv_path=csv,
+           log_every=1)
+    rows = np.genfromtxt(csv, delimiter=",", names=True)
+    assert rows.size < 200, "trajectory was not halted"
+    assert not np.isfinite(rows["energy_re"][-1])
+    assert np.isfinite(rows["energy_re"][:-1]).all() or rows.size <= 2
