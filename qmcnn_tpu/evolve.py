@@ -67,6 +67,19 @@ def evolve(cfg, mode: str = "imag", dt: float = 0.01, n_steps: int = 100,
            sector: str = "auto", csv_path: Optional[str] = None,
            log_every: int = 1, corr_csv: Optional[str] = None):
     """Run the evolution; returns (final params, logger)."""
+    if mode == "real" and model_log_psi_is_real(cfg):
+        # A real-parameter ansatz has a purely real tangent space, which is
+        # ORTHOGONAL to the real-time TDVP velocity -i(H - <H>)|psi>: the
+        # projected theta-dot is identically zero and the "dynamics" silently
+        # freeze (tdvp_error pins at 1.0, every observable constant for all
+        # t). Observed live on an RBM quench; the analogous misconfigs
+        # (init-zero dead manifold above, momentum-on-GCNN) are guarded the
+        # same way (SURVEY.md §3.5 validation posture).
+        raise ValueError(
+            "mode='real' needs a complex-capable ansatz: this model's log "
+            "psi is real, so the real-time TDVP velocity projects to zero "
+            "and the state cannot move. Set model.complex_params=true (or "
+            "use a complex model family).")
     lattice = build_lattice(cfg)
     ham = build_hamiltonian(cfg, lattice)
     model = build_model(cfg, lattice)
@@ -231,12 +244,25 @@ def evolve(cfg, mode: str = "imag", dt: float = 0.01, n_steps: int = 100,
             corr_file.write(",".join(
                 [f"{(it + 1) * dt:.6f}"] + [f"{v:.8f}" for v in vals]) + "\n")
             corr_file.flush()
-        if (it + 1) % log_every == 0 or it + 1 == n_steps:
+        # terminal-blowup check EVERY iteration, not only on logged steps:
+        # with log_every > 1 the old logged-only check let up to
+        # log_every-1 NaN steps burn chip time, and a trajectory whose
+        # params went non-finite while the logged energy was transiently
+        # finite slipped through. Energy is already materialized per step
+        # (r.energy), so this costs one host scalar; the param-norm guard
+        # catches the params-first failure mode.
+        e_re = float(np.asarray(r.energy.re))
+        bad = not np.isfinite(e_re)
+        if not bad:
+            pnorm = sum(float(jnp.sum(jnp.abs(p)))
+                        for p in jax.tree_util.tree_leaves(params))
+            bad = not np.isfinite(pnorm)
+        if bad or (it + 1) % log_every == 0 or it + 1 == n_steps:
             row = {
                 "t": (it + 1) * dt,
-                "energy_re": float(np.asarray(r.energy.re)),
+                "energy_re": e_re,
                 "energy_im": float(np.asarray(r.energy.im)),
-                "e_per_site": float(np.asarray(r.energy.re)) / lattice.n_sites,
+                "e_per_site": e_re / lattice.n_sites,
                 "e_var": float(np.asarray(r.e_var)),
                 "tdvp_error": float(np.asarray(r.tdvp_error)),
                 "solver_residual": float(np.asarray(r.residual)),
@@ -246,7 +272,7 @@ def evolve(cfg, mode: str = "imag", dt: float = 0.01, n_steps: int = 100,
             for k, v in obs.items():
                 row[k] = float(np.asarray(v))
             logger.log(it + 1, row)
-            if not np.isfinite(row["energy_re"]):
+            if bad:
                 # capacity blowups are terminal for TDVP (the parameter
                 # state itself is non-finite; there is no rollback
                 # semantics mid-trajectory) — the chain-12 full-sum

@@ -25,6 +25,7 @@ dynamics; this extends SURVEY.md section 5's offline-analysis surface.
 from __future__ import annotations
 
 import csv
+import warnings
 
 import numpy as np
 
@@ -61,6 +62,18 @@ def read_corr_csv(path: str) -> tuple[np.ndarray, np.ndarray]:
         if cut == 0:
             raise ValueError(f"{path}: correlation history is non-finite "
                              "from the first row")
+        n_dropped = len(t) - cut
+        n_later_finite = int(finite[cut:].sum())
+        # a terminal blowup has no finite rows after the cut; a transient
+        # glitch (e.g. one torn concurrent-write row) DOES — say which,
+        # so a valid later history being discarded is visible
+        warnings.warn(
+            f"{path}: non-finite correlation row at t={t[cut]:.6g} — "
+            f"keeping the {cut} rows before it, dropping {n_dropped} "
+            f"({n_later_finite} of the dropped rows are finite"
+            f"{'; looks like a transient glitch, not a terminal blowup'
+               if n_later_finite else ''})",
+            stacklevel=2)
         t, c = t[:cut], c[:cut]
     return t, c
 

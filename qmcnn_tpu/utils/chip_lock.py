@@ -62,11 +62,48 @@ def _flock_holder_pid(path: str) -> Optional[int]:
                 parts = line.split()
                 # "N: FLOCK ADVISORY WRITE <pid> <maj>:<min>:<ino> 0 EOF"
                 if len(parts) >= 6 and parts[1] == "FLOCK":
-                    if int(parts[5].split(":")[2]) == st.st_ino:
+                    maj, minor, ino = parts[5].split(":")
+                    # device fields are hex in /proc/locks; matching on
+                    # inode alone can attribute an unrelated filesystem's
+                    # lock with a colliding inode to us
+                    if (int(ino) == st.st_ino
+                            and int(maj, 16) == os.major(st.st_dev)
+                            and int(minor, 16) == os.minor(st.st_dev)):
                         return int(parts[4])
     except (OSError, ValueError, IndexError):
         pass
     return None
+
+
+def _pid_holds_file(pid: int, path: str) -> bool:
+    """Best-effort check that ``pid`` has ``path`` open (same dev+inode).
+
+    Guards the ancestor-bypass against pid recycling: the /proc/locks pid
+    is the ORIGINAL acquirer, which may have exited while a descendant
+    keeps the fd; a recycled pid matching one of our ancestors must not
+    silently skip the reservation. Returns True when verification is
+    impossible (fd dir unreadable) — the ancestor match then stands on
+    its own, as before.
+    """
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    fd_dir = f"/proc/{pid}/fd"
+    try:
+        fds = os.listdir(fd_dir)
+    except OSError:
+        # pid gone -> definitely not the holder; unreadable (perms) ->
+        # cannot verify, accept the ancestor match
+        return os.path.exists(f"/proc/{pid}")
+    for fd in fds:
+        try:
+            fst = os.stat(os.path.join(fd_dir, fd))
+        except OSError:
+            continue
+        if fst.st_ino == st.st_ino and fst.st_dev == st.st_dev:
+            return True
+    return False
 
 
 def _is_ancestor(pid: int) -> bool:
@@ -117,13 +154,21 @@ def acquire_chip_lock(wait_s: float = 10800.0, poll_s: float = 5.0,
                 log(f"chip-lock: flock failed ({e}) — proceeding unlocked")
                 return f  # keep fd open; harmless
         holder_pid = _flock_holder_pid(path)
-        if holder_pid is not None and _is_ancestor(holder_pid):
+        if (holder_pid is not None and _is_ancestor(holder_pid)
+                and _pid_holds_file(holder_pid, path)):
             # e.g. the CLI was wrapped in a bare `flock <file> cmd`:
             # the reservation is already ours — blocking on it would
             # deadlock the run against its own wrapper (observed with a
-            # hand-rolled pipeline wrapper, ninth r2 session).
+            # hand-rolled pipeline wrapper, ninth r2 session). The
+            # _pid_holds_file cross-check keeps a recycled pid that
+            # merely matches an ancestor from triggering this. NOTE the
+            # bypass also fires when an ancestor is genuinely USING the
+            # chip (spawned us without ENV_HELD) — keep that overlap
+            # visible rather than silent:
             log(f"chip-lock: held by ancestor pid={holder_pid} — "
-                "treating as already reserved", flush=True)
+                "treating as already reserved (if that ancestor is "
+                "actively using the chip itself, this run OVERLAPS it)",
+                flush=True)
             f.close()
             return None
         if not warned:

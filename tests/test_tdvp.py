@@ -307,6 +307,7 @@ def test_evolve_halts_on_nonfinite_state(tmp_path):
         lattice=cfglib.LatticeConfig(shape=(6,)),
         model=cfglib.ModelConfig(kind="rbm", rbm_alpha=2,
                                  rbm_tie_translations=False,
+                                 complex_params=True,
                                  param_scale=0.05),
         hamiltonian=cfglib.HamiltonianConfig(kind="tfim", h=1.0),
         run=cfglib.RunConfig(seed=1, chunk_size=None),
@@ -320,3 +321,31 @@ def test_evolve_halts_on_nonfinite_state(tmp_path):
     assert rows.size < 200, "trajectory was not halted"
     assert not np.isfinite(rows["energy_re"][-1])
     assert np.isfinite(rows["energy_re"][:-1]).all() or rows.size <= 2
+
+
+def test_evolve_refuses_real_mode_on_real_ansatz(tmp_path):
+    """mode='real' on a provably-real log psi is a silent no-op (the real
+    tangent space is orthogonal to -i(H - <H>)|psi>, so theta-dot == 0 and
+    tdvp_error pins at 1) — evolve must refuse with an actionable message
+    instead of burning chip time on frozen 'dynamics'."""
+    import pytest
+
+    from qmcnn_tpu import configs as cfglib
+    from qmcnn_tpu.evolve import evolve
+
+    cfg = cfglib.Config(
+        lattice=cfglib.LatticeConfig(shape=(6,)),
+        model=cfglib.ModelConfig(kind="rbm", rbm_alpha=2,
+                                 rbm_tie_translations=False,
+                                 param_scale=0.05),
+        hamiltonian=cfglib.HamiltonianConfig(kind="tfim", h=1.0),
+        run=cfglib.RunConfig(seed=1, chunk_size=None),
+    )
+    with pytest.raises(ValueError, match="complex_params"):
+        evolve(cfg, mode="real", dt=0.01, n_steps=5, solver="dense",
+               integrator="euler", sampling="fullsum",
+               csv_path=str(tmp_path / "x.csv"))
+    # imaginary time on the same real ansatz remains legal
+    evolve(cfg, mode="imag", dt=0.05, n_steps=2, solver="dense",
+           integrator="euler", sampling="fullsum",
+           csv_path=str(tmp_path / "ok.csv"))
