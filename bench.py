@@ -60,6 +60,8 @@ def build_sweep_fn(compute_dtype: str = "float32"):
     state = sampler.init_state(params, key, N_WALKERS)
     ids = jnp.arange(N_WALKERS)
     n_props_per_sweep = lattice.n_sites
+    build_sweep_fn.last_parts = (sampler, params, state, key, ids,
+                                 n_props_per_sweep)
 
     if sampler.backend == "pallas":
         # fused kernel path: static proposal counts (one compile per timing
@@ -121,6 +123,42 @@ def measure_rate(passes: int = 5, compute_dtype: str = "float32") -> float:
     dt_per_sweep = max(
         (t_long - t_short) / (SWEEPS_LONG - SWEEPS_SHORT), 1e-9)
     return N_WALKERS / dt_per_sweep  # walker-sweeps per second
+
+
+def sweep_mfu(rate: float, compute_dtype: str = "float32"):
+    """MFU of the benchmark sweep: XLA cost-analysis FLOPs of ONE
+    proposal step (the loop body — fori_loop bodies are counted once by
+    the cost model, so the body is lowered standalone) x N proposals per
+    sweep, over the chip's dense peak for the compute dtype
+    (utils/mfu.py). Returns (mfu_fraction | None, flops_per_sweep | None).
+
+    Note the expected magnitude: the sweep is the HBM/dispatch-bound
+    phase (one-site proposals keep the forward batch at M), so its MFU is
+    intrinsically far below the big-batch E_loc/Jacobian phases' — see
+    scripts/mfu_report.py for the per-phase table.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from qmcnn_tpu.utils.mfu import compiled_flops, mfu
+
+    from qmcnn_tpu.utils.mfu import device_peak_flops
+
+    ctx = getattr(build_sweep_fn, "last_parts", None)
+    if ctx is None:
+        return None, None
+    sampler, params, state, key, ids, props_per_sweep = ctx
+    keys = jax.vmap(lambda w: jax.random.fold_in(key, w))(ids)
+    step = jax.jit(lambda st, ks: sampler._proposal_step(params, st, ks))
+    per_prop = compiled_flops(step, state, keys)
+    if per_prop is None:
+        return None, None
+    per_sweep = per_prop * props_per_sweep
+    achieved = per_sweep * (rate / N_WALKERS)  # sweeps/s * FLOP/sweep
+    peak = device_peak_flops(compute_dtype)
+    if peak is None:
+        return None, per_sweep
+    return achieved / peak, per_sweep
 
 
 def workload_fingerprint() -> str:
@@ -189,11 +227,17 @@ def main():
             vs = rate / cpu_rate
         except Exception as e:  # never let the baseline sink the bench
             print(f"# cpu baseline unavailable: {e}", file=sys.stderr)
+    try:
+        mfu_frac, _ = sweep_mfu(rate, args.compute_dtype)
+    except Exception as e:  # never let the cost model sink the bench
+        print(f"# sweep MFU unavailable: {e}", file=sys.stderr)
+        mfu_frac = None
     print(json.dumps({
         "metric": "walker_sweeps_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "sweeps/s/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "sweep_mfu": round(mfu_frac, 4) if mfu_frac is not None else None,
     }))
 
 

@@ -108,6 +108,12 @@ def build_model(cfg: Config, lattice: Lattice):
                 "ansatz: a configuration-dependent amplitude factor breaks "
                 "the exact-sampling normalization (jastrow_phase — a pure "
                 "phase, |psi| untouched — composes fine)")
+        if m.phase_net_channels:
+            raise ValueError(
+                "model.phase_net_channels is not wired for the "
+                "autoregressive ansatz (it already has per-site phase "
+                "heads; the CNN-trunk wrapper cannot forward the exact-"
+                "sampling conditional contract)")
         sz_zero = resolve_arnn_sector(cfg)
         if sz_zero and lattice.n_sites % 2:
             raise ValueError("sz0 sector needs an even number of sites")
@@ -258,6 +264,12 @@ def _maybe_priors(inner, m, lattice):
     # state — see models/phase.py. The Jastrow factor and the phase priors
     # are both isometry-invariant and Z2-even, so their order (and their
     # placement relative to the projections) is mathematically irrelevant.
+    if m.phase_net_channels:
+        from qmcnn_tpu.models.phasenet import wrap_phase_net
+
+        inner = wrap_phase_net(inner, lattice,
+                               channels=m.phase_net_channels,
+                               kernel_size=m.phase_net_kernel)
     if m.jastrow or m.jastrow_phase:
         from qmcnn_tpu.models.jastrow import wrap_jastrow
 
@@ -330,6 +342,8 @@ def model_log_psi_is_real(cfg: Config) -> bool:
     if m.phase_bias:
         return False
     if m.jastrow_phase:
+        return False
+    if m.phase_net_channels:
         return False
     return True
 
@@ -437,6 +451,7 @@ def resolve_sampler_backend(cfg: Config) -> str:
                  # itself — the fused kernel would sample the bare CNN
                  and not cfg.model.jastrow
                  and not cfg.model.jastrow_phase
+                 and not cfg.model.phase_net_channels
                  and not cfg.model.phase_bias
                  # the fused kernel computes its f32 circulant forward;
                  # an end-to-end bf16 XLA stack would make different

@@ -96,6 +96,15 @@ class ModelConfig:
     #: composes with every sampler INCLUDING the ARNN's exact one; makes
     #: log psi complex (real-model SR fast path disqualifies itself).
     jastrow_phase: bool = False
+    #: dedicated deep phase network (models/phasenet.py): a real CNN trunk
+    #: over the cell grid whose scalar readout adds to Im log psi through a
+    #: zero-initialized gate (exact identity at init; |psi| untouched, so
+    #: sampling is preserved). The configuration-level sign-structure rung
+    #: past jastrow_phase's pair-level form — the split amplitude/phase
+    #: ansatz of Szabo & Castelnovo, PRB 102:214304. Empty/None = off; the
+    #: trunk is fixed to the deep-safe recipe (selu, fan_in, residual>2).
+    phase_net_channels: Tuple[int, ...] = ()
+    phase_net_kernel: int = 3
     #: ARNN-only (kind='arnn'; channels are the masked hidden widths, and
     #: the default 'lncosh' activation is upgraded to 'selu' — lncosh is
     #: even, which wastes the masked stack's sign information):
@@ -327,7 +336,7 @@ def _to_dict(cfg) -> dict:
     return tuples_to_lists(d)
 
 
-_TUPLE_FIELDS = {"shape", "channels"}
+_TUPLE_FIELDS = {"shape", "channels", "phase_net_channels"}
 
 
 def _from_dict(data: dict) -> Config:

@@ -476,7 +476,11 @@ def main(argv=None):
     p.add_argument("--lanczos-step", action="store_true",
                    help="also report the Lanczos-step refined variational "
                         "energy of (1 + alpha H) psi (ops/lanczos.py; "
-                        "costs K extra local-energy passes per sample)")
+                        "costs K extra local-energy passes per sample). "
+                        "A diagnostic for under-converged states: on "
+                        "converged heroes the moment noise at affordable "
+                        "budgets swamps the gain and the validity guard "
+                        "refuses (BASELINE.md 2026-08-19)")
     p.add_argument("--total-spin", action="store_true",
                    help="also report <S^2> of the total spin (singlet 0, "
                         "triplet 2, ...; costs N(N-1)/2 forwards/walker)")

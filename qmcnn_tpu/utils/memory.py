@@ -119,6 +119,15 @@ def model_footprint(cfg, n_sites: int) -> ModelFootprint:
     else:
         width = max(channels) * group
         n_layers = len(channels)
+    pn = tuple(getattr(m, "phase_net_channels", ()) or ())
+    if pn and m.kind != "arnn":
+        # the phase-net trunk (models/phasenet.py) is a second real CNN
+        # over the same cell grid: count its layers toward backward
+        # residual liveness and let its width raise the live-buffer bound
+        # (conservative — the trunk is real even when the inner stack is
+        # complex, so the shared n_parts factor over-counts it OOM-safe)
+        width = max(width, max(pn))
+        n_layers += len(pn)
     n_parts = 2 if m.complex_params else 1
     sym = 2 if m.spin_flip_sector else 1
     if m.kind == "cnn" and m.translation_average:

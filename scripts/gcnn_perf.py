@@ -44,9 +44,21 @@ def main():
                    default="configs/j1j2_8x8_gcnn_deep.yaml")
     p.add_argument("--override", action="append", default=[])
     p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--mfu", action="store_true",
+                   help="also print Model FLOPs Utilization per phase "
+                        "(XLA cost-analysis FLOPs over the v5e dense peak "
+                        "for the config's compute dtype; utils/mfu.py)")
     args = p.parse_args()
     cfg = cfglib.load(args.config, tuple(args.override))
     vmc, params, lattice = build(cfg)
+    from qmcnn_tpu.utils.mfu import compiled_flops, fmt_mfu, mfu
+
+    def mfu_tag(fn, t, *fn_args):
+        if not args.mfu:
+            return ""
+        fl = compiled_flops(fn, *fn_args)
+        return (f"  MFU={fmt_mfu(mfu(fl, t, cfg.model.compute_dtype))}"
+                f" ({0 if fl is None else fl/1e9:,.1f} GFLOP/call)")
     m = cfg.sampler.n_walkers
     key = jax.random.key(0)
     state = vmc.init_state(jax.random.fold_in(key, 0), m, params)
@@ -62,28 +74,32 @@ def main():
     print(f"full step       : {t_step*1e3:9.2f} ms  "
           f"({m / t_step:,.0f} walker-sweeps/s)  "
           f"E={float(metrics.energy_re):+.4f} "
-          f"acc={float(metrics.accept_rate):.3f}")
+          f"acc={float(metrics.accept_rate):.3f}"
+          + mfu_tag(step, t_step, state, jax.random.fold_in(key, 1)))
 
     # sweep only
     sweep = jax.jit(lambda st, k: vmc.sampler.sample(
         st.params, st.walkers, k, ids, n_sweeps=1).s)
     t_sweep, _ = timed(sweep, state, jax.random.fold_in(key, 2),
                        n=args.steps)
-    print(f"sweep only      : {t_sweep*1e3:9.2f} ms")
+    print(f"sweep only      : {t_sweep*1e3:9.2f} ms"
+          + mfu_tag(sweep, t_sweep, state, jax.random.fold_in(key, 2)))
 
     # local energy only
     eloc = jax.jit(lambda st: local_energy(
         vmc.log_psi_fn, st.params, vmc.ham, st.walkers.s,
         st.walkers.log_psi, chunk_size=vmc.chunk_size).re)
     t_eloc, _ = timed(eloc, state, n=args.steps)
-    print(f"local energy    : {t_eloc*1e3:9.2f} ms")
+    print(f"local energy    : {t_eloc*1e3:9.2f} ms"
+          + mfu_tag(eloc, t_eloc, state))
 
     # gradient (energy_and_grad includes E_loc; subtract)
     grad = jax.jit(lambda st: energy_and_grad(
         vmc.log_psi_fn, vmc.ham, st.params, st.walkers,
         chunk_size=vmc.chunk_size)[2])
     t_grad, grads = timed(grad, state, n=args.steps)
-    print(f"E_loc+cov grad  : {t_grad*1e3:9.2f} ms")
+    print(f"E_loc+cov grad  : {t_grad*1e3:9.2f} ms"
+          + mfu_tag(grad, t_grad, state))
 
     if vmc.sr is not None:
         e = jax.jit(lambda st: local_energy(
@@ -93,14 +109,16 @@ def main():
             vmc.log_psi_fn, st.params, st.walkers.s, g,
             st.step, e_loc=e)[0])
         t_sr, _ = timed(sr, state, grads, e, n=args.steps)
-        print(f"SR solve        : {t_sr*1e3:9.2f} ms")
+        print(f"SR solve        : {t_sr*1e3:9.2f} ms"
+              + mfu_tag(sr, t_sr, state, grads, e))
 
     # single batched forward at the E_loc batch scale (per 1024 configs)
     s_big = jnp.tile(state.walkers.s, (4, 1))[:4096]
     fwd = jax.jit(lambda p, s: vmc.log_psi_fn(p, s).re)
     t_fwd, _ = timed(fwd, state.params, s_big, n=args.steps)
     print(f"forward 4096    : {t_fwd*1e3:9.2f} ms  "
-          f"({t_fwd/4*1e3:.2f} ms/1024)")
+          f"({t_fwd/4*1e3:.2f} ms/1024)"
+          + mfu_tag(fwd, t_fwd, state.params, s_big))
 
 
 if __name__ == "__main__":

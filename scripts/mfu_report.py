@@ -1,0 +1,115 @@
+"""One-command MFU table (VERDICT r2 item 4): Model FLOPs Utilization of
+the framework's headline workloads on the current chip, as a BASELINE.md-
+ready markdown table.
+
+  python scripts/mfu_report.py [--steps 5] [--out runs/mfu_report.md]
+
+Rows: flagship CNN sweep + full step (heis10x10_sr shapes), GCNN hero
+full step (j1j2_8x8_gcnn_r2), ViT hero full step (j1j2_8x8_vit).
+Numerator = XLA cost-analysis FLOPs of the exact executable timed
+(fori_loop sweep bodies are lowered standalone and scaled by the trip
+count); denominator = the chip's dense peak for the config's compute
+dtype (utils/mfu.py — v5e: 197 TFLOP/s bf16, /3 for f32). 'n/a' when the
+backend exposes no cost model or no peak is known (CPU).
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from qmcnn_tpu import configs as cfglib
+from qmcnn_tpu.builder import build
+from qmcnn_tpu.utils.mfu import compiled_flops, fmt_mfu, mfu
+
+
+def timed(fn, *args, n=5, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n, out
+
+
+def config_rows(path, overrides, label, n_steps, with_sweep=False):
+    cfg = cfglib.load(path, tuple(overrides))
+    vmc, params, lattice = build(cfg)
+    m = cfg.sampler.n_walkers
+    key = jax.random.key(0)
+    state = vmc.init_state(jax.random.fold_in(key, 0), m, params)
+    ids = jnp.arange(m)
+    dtype = cfg.model.compute_dtype
+    rows = []
+
+    step = jax.jit(lambda st, k: vmc.step(st, k, ids))
+    t_step, _ = timed(step, state, jax.random.fold_in(key, 1), n=n_steps)
+    fl = compiled_flops(step, state, jax.random.fold_in(key, 1))
+    rows.append((f"{label} full step", dtype, m, t_step, fl,
+                 mfu(fl, t_step, dtype)))
+
+    if with_sweep:
+        # the sweep's fori_loop body is counted once by the cost model —
+        # lower one proposal standalone and scale by proposals/sweep
+        sweep = jax.jit(lambda st, k: vmc.sampler.sample(
+            st.params, st.walkers, k, ids, n_sweeps=1).s)
+        t_sweep, _ = timed(sweep, state, jax.random.fold_in(key, 2),
+                           n=n_steps)
+        keys = jax.vmap(lambda w: jax.random.fold_in(key, w))(ids)
+        prop = jax.jit(lambda st, ks: vmc.sampler._proposal_step(
+            state.params, st, ks))
+        per_prop = compiled_flops(prop, state.walkers, keys)
+        fl_sweep = (per_prop * lattice.n_sites
+                    if per_prop is not None else None)
+        rows.append((f"{label} sweep", dtype, m, t_sweep, fl_sweep,
+                     mfu(fl_sweep, t_sweep, dtype)))
+    return rows
+
+
+def main():
+    from qmcnn_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--out", default=None,
+                   help="also write the markdown table to this path")
+    args = p.parse_args()
+
+    targets = [
+        ("configs/heis10x10_sr.yaml", (), "flagship CNN", True),
+        ("configs/j1j2_8x8_gcnn_r2.yaml", (), "GCNN hero", False),
+        ("configs/j1j2_8x8_vit.yaml", (), "ViT hero", False),
+    ]
+    rows = []
+    for path, ov, label, with_sweep in targets:
+        try:
+            rows.extend(config_rows(path, ov, label, args.steps,
+                                    with_sweep=with_sweep))
+        except Exception as e:
+            print(f"# {label}: failed ({e})", file=sys.stderr)
+
+    dev = jax.devices()[0].device_kind
+    lines = [
+        f"| workload ({dev}) | dtype | M | ms/call | GFLOP/call | MFU |",
+        "|---|---|---|---|---|---|",
+    ]
+    for label, dtype, m, t, fl, u in rows:
+        gf = "n/a" if fl is None else f"{fl / 1e9:,.1f}"
+        lines.append(f"| {label} | {dtype} | {m} | {t * 1e3:.2f} | {gf} "
+                     f"| {fmt_mfu(u)} |")
+    table = "\n".join(lines)
+    print(table)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(table + "\n")
+
+
+if __name__ == "__main__":
+    main()
