@@ -152,13 +152,30 @@ def build_model(cfg: Config, lattice: Lattice):
 
         if len(lattice.shape) != 2 or not lattice.pbc:
             raise ValueError("gcnn needs a periodic 2D lattice")
-        if lattice.geometry not in ("hypercubic", "triangular"):
+        if lattice.geometry not in ("hypercubic", "triangular", "kagome"):
             raise ValueError("gcnn is point-group equivariant for square "
-                             "(C4v) and triangular (D6) lattices only — "
-                             f"not geometry={lattice.geometry!r}")
+                             "(C4v), triangular (D6) and kagome (D6 via "
+                             "the depleted-triangular embedding) lattices "
+                             f"only — not geometry={lattice.geometry!r}")
         if m.translation_average or m.point_group_average:
             raise ValueError("gcnn is already fully space-group symmetric; "
                              "drop translation/point_group averaging")
+        if lattice.geometry == "kagome":
+            from qmcnn_tpu.models.kgcnn import LogPsiKagomeGCNN
+
+            inner = LogPsiKagomeGCNN(
+                cell_shape=tuple(lattice.shape),
+                channels=tuple(m.channels),
+                radius=max((m.kernel_size - 1) // 2, 1),
+                complex_params=m.complex_params,
+                param_scale=m.param_scale,
+                character=m.gcnn_character,
+                init_mode=m.init_mode,
+                activation=m.activation,
+                residual=m.residual,
+                compute_dtype=m.compute_dtype,
+            )
+            return _maybe_spin_flip(_maybe_priors(inner, m, lattice), m)
         if lattice.geometry == "triangular":
             from qmcnn_tpu.models.tgcnn import LogPsiTriGCNN
 

@@ -89,8 +89,13 @@ def model_footprint(cfg, n_sites: int) -> ModelFootprint:
     # G-expanded channel width: C4v = 8 on the square lattice, D6 = 12 on
     # the triangular embedding (models/tgcnn.py)
     if m.kind == "gcnn":
-        group = 12 if getattr(cfg.lattice, "geometry",
-                              "hypercubic") == "triangular" else 8
+        geom = getattr(cfg.lattice, "geometry", "hypercubic")
+        group = 12 if geom in ("triangular", "kagome") else 8
+        if geom == "kagome":
+            # depleted-triangular embedding (models/kgcnn.py): the fine
+            # torus carries 4 points per cell vs the 3 kagome sites the
+            # caller's n_sites counts — fold the 4/3 into the width
+            group = int(np.ceil(group * 4.0 / 3.0))
     else:
         group = 1
     if m.kind == "rbm":
@@ -150,7 +155,10 @@ def model_footprint(cfg, n_sites: int) -> ModelFootprint:
         # sum over layers of G_in * G_out * taps * Cin * Cout floats —
         # the lift layer has G_in = 1. Triangular star kernels carry
         # 1 + 3r(r+1) taps (r = (k-1)/2: hexagonal shells), square k^2.
-        tri = getattr(cfg.lattice, "geometry", "hypercubic") == "triangular"
+        # kagome routes through the triangular stack on the fine torus
+        # (models/kgcnn.py), so it shares the hex-star tap count
+        tri = getattr(cfg.lattice, "geometry",
+                      "hypercubic") in ("triangular", "kagome")
         g = 12 if tri else 8
         ksz = int(getattr(m, "kernel_size", 3) or 3)
         if tri:
