@@ -73,9 +73,11 @@ def config_rows(path, overrides, label, n_steps, with_sweep=False):
 
 
 def main():
+    from qmcnn_tpu.utils.chip_lock import acquire_chip_lock
     from qmcnn_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
+    _chip_lock = acquire_chip_lock(wait_s=1800.0)  # noqa: F841 — held to exit
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--out", default=None,

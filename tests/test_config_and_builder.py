@@ -78,6 +78,7 @@ run: {{n_steps: 6, log_every: 2, csv_path: '{tmp_path}/m.csv'}}
     assert "rel_err" in logger.history  # N=8 -> ED validation active
 
 
+@pytest.mark.slow
 def test_train_resume(tmp_path):
     """Checkpoint save/restore continues from the saved step."""
     from qmcnn_tpu.train import train
@@ -145,6 +146,7 @@ sampler: {n_walkers: 16, move: flip, n_therm_sweeps: 1}
         jax.config.update("jax_debug_nans", False)
 
 
+@pytest.mark.slow
 def test_measure_cli_roundtrip(tmp_path):
     """train -> checkpoint -> measure: the full user workflow."""
     from qmcnn_tpu.measure import measure
@@ -185,6 +187,7 @@ run: {{n_steps: 4, log_every: 2, ckpt_every: 2}}
     ck.close()
 
 
+@pytest.mark.slow
 def test_exchange_anti_builds():
     """Regression: builder must pass bonds for move='exchange_anti'."""
     cfg = cfglib.from_yaml("""
@@ -216,6 +219,7 @@ sampler: {n_walkers: 32, move: flip, n_therm_sweeps: 2}
         build(cfglib.apply_overrides(cfg, ["lattice.pbc=false"]))
 
 
+@pytest.mark.slow
 def test_warm_start_transfer_across_lattice_sizes(tmp_path):
     """run.init_from transfers conv params from a smaller-lattice
     checkpoint (kernels are lattice-size-agnostic); extra layers of a
@@ -272,6 +276,7 @@ run: {{n_steps: 2, log_every: 1, ckpt_every: 2, validate_against_ed: false}}
         warm_start(fresh_rbm, str(tmp_path / "src_ck"))
 
 
+@pytest.mark.slow
 def test_dispatch_watchdog_warns(tmp_path, capsys):
     """run.dispatch_warn_s surfaces a wedged-dispatch warning (with 0s
     threshold every dispatch trips it); 0 disables the watchdog."""
@@ -341,6 +346,7 @@ def _max_abs_im(cfg) -> float:
     (dict(kind="gcnn", channels=(2, 2), gcnn_character="B1"), False),
     (dict(kind="rbm", channels=()), True),
 ])
+@pytest.mark.slow
 def test_model_log_psi_is_real_predicate_matches_model(model_kw, expect_real):
     """The builder's real-output predicate (which gates the SR J_im skip)
     must agree with the actual model: predicate True -> im(log psi) == 0

@@ -28,6 +28,7 @@ def test_checked_catches_nan():
         g(jnp.array([1.0, -1.0]))
 
 
+@pytest.mark.slow
 def test_train_cli_checkify_path():
     """train() end-to-end with run.checkify=true on a tiny config: the
     instrumented sharded step must run clean (no false positives from the

@@ -42,6 +42,7 @@ def flat(tree):
     return np.asarray(jax.flatten_util.ravel_pytree(tree)[0])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("move", ["flip", "exchange", "exchange_anti"])
 def test_sharded_step_matches_single_device(eight_devices, move):
     mesh = walker_mesh(8)
@@ -75,6 +76,7 @@ def test_sharded_step_matches_single_device(eight_devices, move):
                                    rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sharded_sr_matches_single_device(eight_devices):
     """Distributed CG: pmean inside every matvec must reproduce the global
     solve (SURVEY.md P2)."""
@@ -96,6 +98,7 @@ def test_sharded_sr_matches_single_device(eight_devices):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_pcg_and_dense_run(eight_devices):
     """pcg/dense SR backends execute under shard_map and stay finite."""
     mesh = walker_mesh(8)
@@ -163,6 +166,7 @@ def test_run_steps_matches_stepwise(eight_devices):
     assert int(fused.step) == 4
 
 
+@pytest.mark.slow
 def test_sharded_gcnn_matches_single_device(eight_devices):
     """GCNN under shard_map: the trace-time kernel-expansion gathers must
     behave identically inside the mesh-sharded step (walker-for-walker)."""
@@ -203,6 +207,7 @@ def test_sharded_gcnn_matches_single_device(eight_devices):
                                    rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sharded_gcnn_minsr_hero_path_matches_single_device(eight_devices):
     """The production J1-J2 hero path — complex GCNN + spin-parity
     projection + exchange_anti moves + distributed minSR — must be
@@ -251,6 +256,7 @@ def test_sharded_gcnn_minsr_hero_path_matches_single_device(eight_devices):
                                    rtol=5e-4, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_sharded_arnn_direct_sampler_matches_single_device(eight_devices):
     """The exact-sampling path (ARNN + DirectSampler + SR) under shard_map:
     ancestral draws are keyed by global walker id, so the n-device run must
@@ -294,6 +300,7 @@ def test_sharded_arnn_direct_sampler_matches_single_device(eight_devices):
                                    rtol=5e-4, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_sharded_tempered_step_matches_single_device(eight_devices):
     """Parallel tempering under shard_map: replica rows stay with their
     walker's device (replica-fastest layout) and per-row streams key off
@@ -336,6 +343,7 @@ def test_sharded_tempered_step_matches_single_device(eight_devices):
                                    rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sharded_vit_minsr_matches_single_device(eight_devices):
     """The ViT family on the hero-style path — factored-attention ViT +
     spin-parity projection + exchange_anti + distributed minSR — must be

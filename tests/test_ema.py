@@ -39,6 +39,7 @@ def _leaves(tree):
     return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
 
 
+@pytest.mark.slow
 def test_ema_recurrence_and_noninterference():
     d = 0.75
     key = jax.random.key(0)
@@ -70,6 +71,7 @@ def test_ema_recurrence_and_noninterference():
         np.testing.assert_allclose(e, m, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_ema_checkpoint_roundtrip_and_resume(tmp_path):
     cfg = _cfg("optimizer.ema_decay=0.9")
     mgr = CheckpointManager(str(tmp_path / "ckpt"))
@@ -91,6 +93,7 @@ def test_ema_checkpoint_roundtrip_and_resume(tmp_path):
     assert state2.ema is not None
 
 
+@pytest.mark.slow
 def test_ema_field_missing_raises(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ckpt"))
     train(_cfg(), ckpt_manager=mgr)  # ema off
@@ -98,6 +101,7 @@ def test_ema_field_missing_raises(tmp_path):
         load_checkpoint_params(str(tmp_path / "ckpt"), field="ema")
 
 
+@pytest.mark.slow
 def test_measure_ema_evaluates_the_average(tmp_path, capsys):
     from qmcnn_tpu.measure import measure
 

@@ -79,6 +79,7 @@ def test_warm_start_from_npz(trained_ckpt, tmp_path):
                                    rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_init_from_npz(trained_ckpt, tmp_path):
     """run.init_from pointed at the snapshot drives a real train()."""
     ckpt_dir, _ = trained_ckpt

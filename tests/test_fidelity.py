@@ -1,5 +1,6 @@
 """Fidelity estimator tests: identity == 1 exactly, agreement with the
 dense overlap on an enumerable system."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +37,7 @@ def samples_from(fn, v, n_walkers=768, seed=0):
     return state.s
 
 
+@pytest.mark.slow
 def test_self_fidelity_is_one():
     fn, v = make(0)
     s1 = samples_from(fn, v, seed=3)
@@ -44,6 +46,7 @@ def test_self_fidelity_is_one():
     np.testing.assert_allclose(f, 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fidelity_matches_dense_overlap():
     fn1, v1 = make(1)
     fn2, v2 = make(2)

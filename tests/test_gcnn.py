@@ -64,6 +64,7 @@ def test_c4v_even_kernel_rejected():
 # symmetry identities
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 @pytest.mark.parametrize("complex_params", [False, True])
 def test_full_space_group_invariance_a1(spins, complex_params):
     m = LogPsiGCNN(lattice_shape=L, channels=(4, 4), kernel_size=3,
@@ -128,6 +129,7 @@ def test_spin_flip_projection(spins, sector):
     assert _angle_dev(a.im, b.im + shift) < 1e-5
 
 
+@pytest.mark.slow
 def test_gradients_finite(spins):
     m = LogPsiGCNN(lattice_shape=L, channels=(4, 4), complex_params=True)
     p = m.init(jax.random.key(3), spins)
@@ -253,6 +255,7 @@ def test_gcnn_j1j2_4x4_training_converges():
     assert rel < 3e-2, (e_vmc, e_exact, rel)
 
 
+@pytest.mark.slow
 def test_residual_gcnn_symmetry_and_init_health(spins):
     """Residual skips must not break space-group invariance (identity
     commutes with the regular representation) and the depth-8 residual

@@ -6,6 +6,7 @@ Two-layer validation:
  2. implementation: energy_and_grad's jax.grad surrogate equals the dense-O
     formula evaluated on the same walker batch with uniform weights.
 """
+import pytest
 import jax
 import jax.flatten_util
 import jax.numpy as jnp
@@ -86,6 +87,7 @@ def test_formula_matches_fd_of_exact_energy():
                                atol=2e-4)
 
 
+@pytest.mark.slow
 def test_energy_and_grad_matches_dense_scores():
     lat, ham, v, log_psi_fn = setup()
     key = jax.random.key(0)

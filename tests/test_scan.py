@@ -4,6 +4,7 @@ Oracle: ED at every point (TFIM N=8 chain), plus structural checks that
 the per-point artifacts (CSV, portable .npz params, summary) land and that
 warm starts actually carry parameters between points.
 """
+import pytest
 import csv
 import json
 import os
@@ -32,6 +33,7 @@ def test_parse_values():
     assert _parse_values("3.0,2.0;1.5") == [3.0, 2.0, 1.5]
 
 
+@pytest.mark.slow
 def test_scan_warm_start_sweep(tmp_path, capsys):
     out = str(tmp_path / "scan")
     logs = []

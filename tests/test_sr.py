@@ -46,6 +46,7 @@ def dense_s(log_psi_fn, params, s):
     return np.real(np.conj(oc).T @ oc) / s.shape[0], unravel, flat
 
 
+@pytest.mark.slow
 def test_matvec_matches_dense():
     for complex_params in [False, True]:
         v, log_psi_fn, s = setup(complex_params)

@@ -6,6 +6,7 @@ script the observed production failure modes (heartbeat goes stale mid-run;
 child never produces a first beat; hard crash loop), plus an end-to-end
 check that train() actually emits the heartbeat file the supervisor needs.
 """
+import pytest
 import os
 import stat
 import sys
@@ -63,6 +64,7 @@ def test_stall_then_resume_finishes(tmp_path):
     assert read_heartbeat(hb)[0] == 6
 
 
+@pytest.mark.slow
 def test_no_first_heartbeat_is_killed(tmp_path):
     # Child never beats (wedged inside compile); second attempt succeeds.
     rc, _ = _run(tmp_path, """
@@ -83,6 +85,7 @@ def test_crash_loop_gives_up(tmp_path):
     assert rc == 1
 
 
+@pytest.mark.slow
 def test_progress_refunds_restart_budget(tmp_path):
     # Each child advances one step past the last, then wedges; with
     # max_restarts=1 (one no-progress restart allowed) the run still
@@ -130,6 +133,7 @@ run: {{n_steps: 4, steps_per_dispatch: 2, log_every: 2,
     assert "n_walkers: 32" in meta["config"]
 
 
+@pytest.mark.slow
 def test_device_wait_probes_without_burning_budget(tmp_path):
     # Probe fails twice before the device "recovers"; with max_restarts=0
     # (zero tolerance for failed attempts) the run still succeeds because
@@ -182,6 +186,7 @@ def test_read_heartbeat_robust(tmp_path):
     assert read_heartbeat(str(bad)) is None
 
 
+@pytest.mark.slow
 def test_transient_heartbeat_glitch_does_not_kill(tmp_path):
     """A momentarily missing/unreadable heartbeat AFTER beats have been
     seen must be judged by the last known beat, not the startup branch
@@ -199,6 +204,7 @@ def test_transient_heartbeat_glitch_does_not_kill(tmp_path):
     assert read_heartbeat(hb)[0] == 2
 
 
+@pytest.mark.slow
 def test_sigterm_reaps_the_child(tmp_path):
     """``timeout N supervise`` must not orphan the train child.
 

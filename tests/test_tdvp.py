@@ -12,6 +12,7 @@ import jax
 import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.sparse.linalg as spla
 
 from qmcnn_tpu.lattice import chain
@@ -42,6 +43,7 @@ def psi_vector(log_psi_fn, params, states):
     return psi / np.linalg.norm(psi)
 
 
+@pytest.mark.slow
 def test_dense_equals_minsr():
     n = 6
     lat = chain(n)

@@ -197,14 +197,21 @@ def test_builder_routes_gcnn_to_tri_d6():
     assert isinstance(model2.inner, LogPsiTriGCNN)
 
 
-def test_builder_still_rejects_kagome_gcnn():
+def test_builder_routes_kagome_gcnn():
+    # r3: kagome + gcnn is now SUPPORTED (models/kgcnn.py — the
+    # depleted-triangular embedding; tests/test_kgcnn.py owns its
+    # invariance oracles). The builder must route there, not reject.
     from qmcnn_tpu.lattice import kagome
+    from qmcnn_tpu.models.kgcnn import LogPsiKagomeGCNN
 
     cfg = _cfg()
     cfg = dataclasses.replace(cfg, lattice=dataclasses.replace(
         cfg.lattice, geometry="kagome", shape=[2, 2]))
-    with pytest.raises(ValueError, match="triangular"):
-        build_model(cfg, kagome(2, 2))
+    model = build_model(cfg, kagome(2, 2))
+    inner = model
+    while not isinstance(inner, LogPsiKagomeGCNN):
+        inner = inner.inner
+    assert inner.cell_shape == (2, 2)
 
 
 # -------------------------------------------------------- integration
