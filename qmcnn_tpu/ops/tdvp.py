@@ -54,7 +54,7 @@ import numpy as np
 from qmcnn_tpu.ops import cplx
 from qmcnn_tpu.ops.cplx import C
 from qmcnn_tpu.ops.local_energy import local_energy
-from qmcnn_tpu.sr import materialize_jacobian
+from qmcnn_tpu.sr import chol_or_eigh_solve, materialize_jacobian
 
 Array = jax.Array
 
@@ -203,7 +203,7 @@ class TDVP:
             b = _psum(b, ax)
             p = b.shape[0]
             a = s_mat + shift * jnp.eye(p, dtype=b.dtype)
-            x = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(a), b)
+            x = chol_or_eigh_solve(a, b, shift)
             s_dot = s_mat @ x
             resid = jnp.linalg.norm(a @ x - b) / jnp.maximum(
                 jnp.linalg.norm(b), 1e-30)
@@ -216,8 +216,7 @@ class TDVP:
                 eps_full = jax.lax.all_gather(eps, ax, axis=0, tiled=True)
             rows = o_full.shape[0]
             gram = o_full @ o_full.T + shift * jnp.eye(rows, dtype=o_t.dtype)
-            y = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(gram), eps_full)
+            y = chol_or_eigh_solve(gram, eps_full, shift)
             x = y @ o_full                       # theta_dot [P]
             b = o_full.T @ eps_full
             s_dot = o_full.T @ (o_full @ x)

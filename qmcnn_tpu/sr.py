@@ -345,6 +345,30 @@ def _minsr_rows(op: JacobianSOperator, e_loc, axis_name):
     return o_local, eps_local
 
 
+def chol_or_eigh_solve(gram: Array, rhs: Array, shift: Array) -> Array:
+    """Solve (gram) y = rhs for a shifted-PSD gram, NaN-proof.
+
+    f32 Cholesky on an ill-conditioned Gram can hit a negative pivot
+    from rounding and silently return NaN — observed in production on
+    the 8x8 depth-12 GCNN rung (r3): forward/E_loc/Jacobian all finite,
+    every recipe NaN'd in the first dispatch, and the failure was
+    walker-set-dependent (one sweep moved the Gram across the f32 pivot
+    edge). When the fast path comes back non-finite, fall back to an
+    eigh-based solve with eigenvalues clipped at the shift (the exact
+    regularized pseudo-solve; ~3x the FLOPs, paid only on trigger via
+    lax.cond — both branches compile, one executes).
+    """
+    y = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(gram), rhs)
+
+    def fallback(_):
+        w, v = jnp.linalg.eigh(gram)
+        w = jnp.maximum(w, jnp.maximum(shift, 1e-30))
+        return v @ ((v.T @ rhs) / w)
+
+    bad = jnp.logical_not(jnp.all(jnp.isfinite(y)))
+    return jax.lax.cond(bad, fallback, lambda _: y, None)
+
+
 def _minsr_delta(o_local: Array, eps_local: Array, shift: Array,
                  m_local: int, axis_name: Optional[str], assembly: str
                  ) -> Tuple[Array, Array]:
@@ -357,8 +381,7 @@ def _minsr_delta(o_local: Array, eps_local: Array, shift: Array,
         m_total = m_local
         gram = (o_local @ o_local.T) / m_total
         gram = gram + shift * jnp.eye(two_m)
-        y = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(gram), eps_local)
+        y = chol_or_eigh_solve(gram, eps_local, shift)
         delta = (y @ o_local) / m_total  # [P]
         s_delta = (o_local.T @ (o_local @ delta)) / m_total
     elif assembly == "gather":
@@ -375,8 +398,7 @@ def _minsr_delta(o_local: Array, eps_local: Array, shift: Array,
         cols = (o_full @ o_local.T) / m_total  # [2M_tot, 2M_loc]
         gram = jax.lax.all_gather(cols, axis_name, axis=1, tiled=True)
         gram = gram + shift * jnp.eye(two_m)
-        y = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(gram), eps)
+        y = chol_or_eigh_solve(gram, eps, shift)
         delta = (y @ o_full) / m_total  # [P]
         s_delta = (o_full.T @ (o_full @ delta)) / m_total
     else:
@@ -408,8 +430,7 @@ def _minsr_delta(o_local: Array, eps_local: Array, shift: Array,
         two_m = m2 * n_dev
         eps = jax.lax.all_gather(eps_local, axis_name, axis=0, tiled=True)
         gram = gram + shift * jnp.eye(two_m)
-        y = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(gram), eps)
+        y = chol_or_eigh_solve(gram, eps, shift)
         y_local = jax.lax.dynamic_slice(y, (idx * m2,), (m2,))
         delta = jax.lax.psum(y_local @ o_local, axis_name) / m_total
         s_delta = jax.lax.psum(
@@ -537,8 +558,7 @@ class SR:
             s_dense = _pmean(s_dense, axis_name)
             p = b.shape[0]
             a = s_dense + shift * jnp.eye(p, dtype=b.dtype)
-            factor = jax.scipy.linalg.cho_factor(a)
-            x = jax.scipy.linalg.cho_solve(factor, b)
+            x = chol_or_eigh_solve(a, b, shift)
             resid = jnp.linalg.norm(a @ x - b) / jnp.maximum(
                 jnp.linalg.norm(b), 1e-30)
             return unravel(x), jnp.zeros((), jnp.int32), resid

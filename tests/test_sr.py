@@ -506,3 +506,47 @@ def test_spring_training_step_threads_carry():
     state3, _ = jax.jit(vmc.step)(state2, jax.random.key(2), ids)
     assert not np.allclose(np.asarray(state3.sr_aux),
                            np.asarray(state2.sr_aux))
+
+
+def test_chol_or_eigh_solve_survives_f32_pivot_failure():
+    """f32 Cholesky on an ill-conditioned shifted Gram can hit a negative
+    pivot from rounding and silently return NaN — the production failure
+    of the r3 depth-12 rung (every recipe NaN'd in the first dispatch
+    with finite forward/E_loc/Jacobian). chol_or_eigh_solve must detect
+    the non-finite fast path and fall back to the eigh pseudo-solve,
+    which must match the float64 clipped-spectrum reference."""
+    import numpy as np
+
+    from qmcnn_tpu.sr import chol_or_eigh_solve
+
+    rng = np.random.default_rng(0)
+    n = 128
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    # a slightly indefinite matrix (the rounding-equivalent of a
+    # degenerate PSD Gram): shift makes it PD in exact math at the
+    # dominant scale, but f32 pivots go negative
+    w = np.full(n, -1e-2)
+    w[:8] = 1e4
+    gram = (q * w) @ q.T
+    shift = jnp.asarray(1e-3, jnp.float32)
+    a = jnp.asarray(gram, jnp.float32) + shift * jnp.eye(n, dtype=jnp.float32)
+    rhs = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+
+    # precondition of the test: the plain fast path really is non-finite
+    y_cho = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(a), rhs)
+    assert not bool(jnp.isfinite(y_cho).all())
+
+    y = jax.jit(chol_or_eigh_solve)(a, rhs, shift)
+    assert np.isfinite(np.asarray(y)).all()
+    w64, v64 = np.linalg.eigh(np.asarray(a, np.float64))
+    ref = v64 @ ((v64.T @ np.asarray(rhs, np.float64))
+                 / np.maximum(w64, 1e-3))
+    err = np.linalg.norm(np.asarray(y) - ref) / np.linalg.norm(ref)
+    assert err < 1e-4
+
+    # well-conditioned case: identical to the plain cholesky path
+    a2 = jnp.eye(16) * 2.0
+    rhs2 = jnp.arange(16, dtype=jnp.float32)
+    y2 = chol_or_eigh_solve(a2, rhs2, jnp.asarray(0.1, jnp.float32))
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(rhs2) / 2.0,
+                               rtol=1e-6)
