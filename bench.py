@@ -148,6 +148,12 @@ def sweep_mfu(rate: float, compute_dtype: str = "float32"):
     if ctx is None:
         return None, None
     sampler, params, state, key, ids, props_per_sweep = ctx
+    if sampler.backend == "pallas":
+        # the timed sweep ran the fused Pallas kernel; lowering
+        # _proposal_step would count FLOPs of a DIFFERENT executable
+        # (utils/mfu.py contract: FLOPs of the exact timed code) —
+        # report n/a rather than a mismatched number
+        return None, None
     keys = jax.vmap(lambda w: jax.random.fold_in(key, w))(ids)
     step = jax.jit(lambda st, ks: sampler._proposal_step(params, st, ks))
     per_prop = compiled_flops(step, state, keys)
@@ -219,6 +225,13 @@ def main():
     from qmcnn_tpu.utils.chip_lock import acquire_chip_lock
     _chip_lock = acquire_chip_lock(wait_s=900.0)  # bench is driver-facing:
     # wait a bounded 15 min for a stale holder, then proceed regardless
+    lock_status = ("held" if _chip_lock is not None else
+                   "inherited" if os.environ.get("QMCNN_CHIP_LOCK_HELD")
+                   else "UNLOCKED")
+    print("# timing protocol: min-difference (min over reps per point, one "
+          "two-point difference) — per-dispatch tunnel cost cancels; "
+          "scripts/mfu_report.py uses the identical protocol.",
+          file=sys.stderr)
     rate = measure_rate(compute_dtype=args.compute_dtype)
     vs = None
     if not args.no_baseline:
@@ -238,6 +251,7 @@ def main():
         "unit": "sweeps/s/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "sweep_mfu": round(mfu_frac, 4) if mfu_frac is not None else None,
+        "chip_lock": lock_status,
     }))
 
 

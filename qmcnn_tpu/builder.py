@@ -592,6 +592,26 @@ def build(cfg: Config, axis_name: Optional[str] = None
                 n_sweeps=max(cfg.sampler.n_therm_sweeps, 20)))(st)
             frozen.append(make_frozen_state(log_psi_fn, p_k, st.s))
         penalty_states = tuple(frozen)
+    if (penalty_states and cfg.optimizer.deflate_c <= 0
+            and sr is not None and sr.solver == "minsr"):
+        import warnings
+
+        # Measured failure mode (BASELINE.md r3, runs/j1j2_4x4_excited_
+        # minsr.csv): the sample-space minSR metric projects the update
+        # onto the span of the CURRENT state's score vectors, which
+        # suppresses the penalty's move-away direction — the run silently
+        # collapses back onto the reference state (final overlap 0.999)
+        # while every logged metric looks healthy. Raw-gradient, dense-SR
+        # and pcg solves do move off the reference.
+        warnings.warn(
+            "optimizer.orthogonalize_to with sr.solver='minsr' is a "
+            "documented silent-collapse mode: the sample-space natural-"
+            "gradient metric suppresses the orthogonality-penalty "
+            "direction and the run converges back onto the reference "
+            "state. Use sr.solver='dense' or 'pcg' (or sr.enabled=false) "
+            "for penalty/excited-state runs, or set optimizer.deflate_c "
+            "(exact H + c|psi0><psi0| deflation folded into e_loc, "
+            "which the sample-space solvers see natively).", stacklevel=2)
     vmc = VMC(
         log_psi_fn=log_psi_fn,
         ham=ham,
@@ -603,6 +623,7 @@ def build(cfg: Config, axis_name: Optional[str] = None
         chunk_size=chunk_size,
         penalty_states=penalty_states,
         penalty_beta=cfg.optimizer.orth_beta,
+        deflate_c=cfg.optimizer.deflate_c,
         ema_decay=cfg.optimizer.ema_decay,
     )
     # Preflight HBM sanity: a device OOM on the tunneled TPU hard-crashes

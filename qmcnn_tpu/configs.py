@@ -191,6 +191,14 @@ class OptimizerConfig:
     #: orthogonal to every psi_k (the next excited state in the sector).
     orthogonalize_to: Optional[List[str]] = None
     orth_beta: float = 2.0
+    #: exact deflation (ops/penalty.deflation_e_loc): when > 0, optimize
+    #: the ground state of H + c sum_k |psi_k><psi_k| over the
+    #: orthogonalize_to states INSTEAD of adding the beta-penalty
+    #: gradient. The projector is folded into the local energy, so the
+    #: minSR/SPRING sample-space solvers see it natively — use this (not
+    #: orth_beta) with sr.solver='minsr'; choose c comfortably above the
+    #: expected gap E1 - E0 (the deflated spectrum moves E0 up by c).
+    deflate_c: float = 0.0
     #: Polyak/EMA parameter averaging: ema <- d*ema + (1-d)*params after
     #: every step (0 = off). Averages out the O(1/sqrt(M)) MC gradient
     #: noise over ~1/(1-d) steps of the converged tail; evaluate the

@@ -254,8 +254,10 @@ def evolve(cfg, mode: str = "imag", dt: float = 0.01, n_steps: int = 100,
         e_re = float(np.asarray(r.energy.re))
         bad = not np.isfinite(e_re)
         if not bad:
-            pnorm = sum(float(jnp.sum(jnp.abs(p)))
-                        for p in jax.tree_util.tree_leaves(params))
+            # one fused device reduction -> ONE host scalar per step
+            # (per-leaf float() costs a device sync per leaf)
+            pnorm = float(sum(jnp.sum(jnp.abs(p))
+                              for p in jax.tree_util.tree_leaves(params)))
             bad = not np.isfinite(pnorm)
         if bad or (it + 1) % log_every == 0 or it + 1 == n_steps:
             row = {

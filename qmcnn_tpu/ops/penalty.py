@@ -102,6 +102,68 @@ def overlap_sq(lp_live: C, lpk_live: C, lp_on_frozen: C, lpk_frozen: C,
     return prod.re * scale
 
 
+def deflation_e_loc(
+    log_psi_fn,
+    params,
+    s: Array,
+    lp_live: C,
+    frozen: Sequence[FrozenState],
+    axis_name: Optional[str] = None,
+    exp_clip: float = 30.0,
+):
+    """Per-sample local energy of the deflation projector, and the overlap.
+
+    Exact-deflation excited states (the r3-diagnosed fix for the minSR
+    penalty collapse, BASELINE.md r3): optimize the GROUND state of
+      A = H + c * sum_k |psi_k><psi_k| / <psi_k|psi_k>,
+    whose lowest eigenstate (for c above the gap) is the lowest state
+    orthogonal to every psi_k. Because the projector is folded into the
+    LOCAL ENERGY, every downstream consumer — covariance gradient, minSR
+    sample-space residuals, SPRING, variance — optimizes the deflated
+    operator natively; nothing is bolted onto the gradient afterwards.
+    (The additive beta-penalty gradient is DISCARDED by the sample-space
+    minSR solver, which rebuilds its update from e_loc residuals alone —
+    the r3 silent-collapse mode this estimator replaces.)
+
+    Per-sample term (see the module docstring's two-chain decomposition):
+      (P_k psi)(s)/psi(s) = [psi_k(s)/psi(s)] * <psi_k|psi>/<psi_k|psi_k>
+                          = exp(lpk(s) - lp(s)) * rho_k,
+      rho_k = E_{t~|psi_k|^2}[psi(t)/psi_k(t)]  (frozen batch, fresh each
+      step since psi moves; one extra batched forward per frozen state).
+    Returns (d_loc C[M] = sum_k per-sample terms WITHOUT the c factor,
+    overlap = sum_k F_k with F_k = Re E_live[d_loc_k] — the same
+    two-chain overlap the penalty logs). Everything is stop-gradiented:
+    e_loc terms enter the gradient only through the covariance formula,
+    exactly as the Hamiltonian's own local energy does (Hermitian A).
+
+    ``exp_clip`` caps the per-sample log-ratio: individual ratios
+    psi_k/psi are exponentially unbounded sample-by-sample once the
+    states separate (expectation fine, variance not — the penalty
+    estimator's clip_norm note); the clip only bites in the separated
+    regime where any restoring magnitude suffices.
+    """
+    sg = jax.lax.stop_gradient
+    zeros = jnp.zeros_like(lp_live.re)
+    d_loc = C(zeros, zeros)
+    overlap = jnp.zeros(())
+    for f in frozen:
+        lpk_live = sg(f.log_psi_fn(f.params, s))
+        lp_on_frozen = sg(log_psi_fn(params, f.s_frozen))
+        # rho_k = mean exp(d2), stabilized: b * e^shift2
+        d2 = C(lp_on_frozen.re - f.lp_frozen.re,
+               lp_on_frozen.im - f.lp_frozen.im)
+        shift2 = jnp.max(d2.re)
+        r2 = cplx.cexp(C(d2.re - shift2, d2.im))
+        b = C(jnp.mean(r2.re), jnp.mean(r2.im))
+        # per-sample: exp(d1) * rho_k = exp(d1.re + shift2) e^{i d1.im} b
+        d1 = C(sg(lpk_live.re - lp_live.re), sg(lpk_live.im - lp_live.im))
+        amp = jnp.exp(jnp.minimum(d1.re + shift2, exp_clip))
+        term = C(amp, zeros) * cplx.cexp(C(zeros, d1.im)) * b
+        d_loc = d_loc + term
+        overlap = overlap + pmean(jnp.mean(term.re), axis_name)
+    return d_loc, overlap
+
+
 def penalty_value_and_grad(
     log_psi_fn,
     params,

@@ -67,12 +67,12 @@ def read_corr_csv(path: str) -> tuple[np.ndarray, np.ndarray]:
         # a terminal blowup has no finite rows after the cut; a transient
         # glitch (e.g. one torn concurrent-write row) DOES — say which,
         # so a valid later history being discarded is visible
+        glitch = ("; looks like a transient glitch, not a terminal blowup"
+                  if n_later_finite else "")
         warnings.warn(
             f"{path}: non-finite correlation row at t={t[cut]:.6g} — "
             f"keeping the {cut} rows before it, dropping {n_dropped} "
-            f"({n_later_finite} of the dropped rows are finite"
-            f"{'; looks like a transient glitch, not a terminal blowup'
-               if n_later_finite else ''})",
+            f"({n_later_finite} of the dropped rows are finite{glitch})",
             stacklevel=2)
         t, c = t[:cut], c[:cut]
     return t, c

@@ -363,7 +363,11 @@ def chol_or_eigh_solve(gram: Array, rhs: Array, shift: Array) -> Array:
     def fallback(_):
         w, v = jnp.linalg.eigh(gram)
         w = jnp.maximum(w, jnp.maximum(shift, 1e-30))
-        return v @ ((v.T @ rhs) / w)
+        # w scales the EIGENVALUE axis: for a matrix rhs [n, k] the
+        # projection v.T @ rhs is [n, k] and w must broadcast down
+        # columns (w[:, None]), not across them.
+        w_b = w[:, None] if rhs.ndim == 2 else w
+        return v @ ((v.T @ rhs) / w_b)
 
     bad = jnp.logical_not(jnp.all(jnp.isfinite(y)))
     return jax.lax.cond(bad, fallback, lambda _: y, None)

@@ -85,13 +85,36 @@ def energy_and_grad(
     walkers: WalkerState,
     axis_name: Optional[str] = None,
     chunk_size: Optional[int] = None,
+    deflate: Optional[tuple] = None,
 ):
-    """(e_mean C, e_var, grads pytree, e_loc C[M]) from the current walkers."""
+    """(e_mean C, e_var, grads pytree, e_loc C[M], overlap) from the walkers.
+
+    ``deflate``: optional (frozen_states, c) — fold the exact deflation
+    projector c * sum_k |psi_k><psi_k| into the local energy
+    (ops/penalty.deflation_e_loc), so the covariance gradient AND the
+    sample-space SR residuals optimize the deflated operator
+    H + c P natively. The REPORTED e_mean/e_var stay the physical <H>
+    statistics (the excited-state number a run is after); centering for
+    the gradient uses the deflated mean, as the deflated Rayleigh
+    quotient requires. ``overlap`` is the two-chain sum_k F_k
+    (0.0 when deflate is None).
+    """
     e_loc = local_energy(log_psi_fn, params, ham, walkers.s, walkers.log_psi,
                          chunk_size=chunk_size)
     e_mean = pmean_c(e_loc.mean(), axis_name)
-    centered = e_loc - e_mean  # broadcasts the scalar pair over [M]
-    e_var = pmean(centered.abs2().mean(), axis_name)
+    e_var = pmean((e_loc - e_mean).abs2().mean(), axis_name)
+    overlap = jnp.zeros(())
+    if deflate is not None:
+        from qmcnn_tpu.ops.penalty import deflation_e_loc
+
+        frozen, c = deflate
+        d_loc, overlap = deflation_e_loc(
+            log_psi_fn, params, walkers.s, walkers.log_psi, frozen,
+            axis_name=axis_name)
+        e_loc = e_loc + d_loc * c
+    e_mean_a = (pmean_c(e_loc.mean(), axis_name) if deflate is not None
+                else e_mean)
+    centered = e_loc - e_mean_a  # broadcasts the scalar pair over [M]
     delta = jax.lax.stop_gradient(centered)
 
     def loss_fn(p):
@@ -101,7 +124,7 @@ def energy_and_grad(
 
     grads = jax.grad(loss_fn)(params)
     grads = jax.tree_util.tree_map(lambda g: pmean(g, axis_name), grads)
-    return e_mean, e_var, grads, e_loc
+    return e_mean, e_var, grads, e_loc, overlap
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -126,6 +149,11 @@ class VMC:
     #: (choose beta above the expected energy gap)
     penalty_states: tuple = ()
     penalty_beta: float = 0.0
+    #: exact deflation H + c sum_k |psi_k><psi_k| folded into e_loc
+    #: (ops/penalty.deflation_e_loc; c > E1 - E0). When > 0 it REPLACES
+    #: the additive beta-penalty gradient — the metric-compatible
+    #: excited-state path (works under minSR/SPRING, unlike the penalty)
+    deflate_c: float = 0.0
     #: Polyak/EMA averaging of params (0 = off); see TrainState.ema
     ema_decay: float = 0.0
 
@@ -156,12 +184,14 @@ class VMC:
         # with parallel tempering only the beta=1 replica is distributed as
         # |psi|^2 — every estimator below sees the physical chain only
         phys = self.sampler.physical(walkers)
-        e_mean, e_var, grads, e_loc = energy_and_grad(
+        deflate = ((self.penalty_states, self.deflate_c)
+                   if self.penalty_states and self.deflate_c > 0 else None)
+        e_mean, e_var, grads, e_loc, overlap = energy_and_grad(
             self.log_psi_fn, self.ham, params, phys,
             axis_name=self.axis_name, chunk_size=self.chunk_size,
+            deflate=deflate,
         )
-        overlap = jnp.zeros(())
-        if self.penalty_states:
+        if self.penalty_states and deflate is None:
             from qmcnn_tpu.ops.penalty import penalty_value_and_grad
 
             overlap, pen_grads = penalty_value_and_grad(

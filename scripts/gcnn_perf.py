@@ -93,7 +93,8 @@ def main():
     print(f"local energy    : {t_eloc*1e3:9.2f} ms"
           + mfu_tag(eloc, t_eloc, state))
 
-    # gradient (energy_and_grad includes E_loc; subtract)
+    # gradient (energy_and_grad includes E_loc; subtract).
+    # [2] = grads in the 5-tuple (e_mean, e_var, grads, e_loc, overlap)
     grad = jax.jit(lambda st: energy_and_grad(
         vmc.log_psi_fn, vmc.ham, st.params, st.walkers,
         chunk_size=vmc.chunk_size)[2])

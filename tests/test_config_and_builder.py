@@ -363,3 +363,46 @@ def test_model_log_psi_is_real_predicate_matches_model(model_kw, expect_real):
     assert model_log_psi_is_real(cfg) == expect_real
     if expect_real:
         assert _max_abs_im(cfg) == 0.0
+
+
+def _tiny_penalty_cfg(tmp_path, solver, deflate_c=0.0):
+    cfg = cfglib.Config(
+        lattice=cfglib.LatticeConfig(shape=(6,)),
+        model=cfglib.ModelConfig(channels=(4,), kernel_size=3),
+        hamiltonian=cfglib.HamiltonianConfig(kind="tfim", h=1.0),
+        sampler=cfglib.SamplerConfig(n_walkers=16, move="flip",
+                                     n_therm_sweeps=1),
+        sr=cfglib.SRConfig(enabled=True, solver=solver),
+    )
+    # export a matching frozen state to orthogonalize against
+    from qmcnn_tpu.utils.transfer import _flatten
+
+    _, params, _ = build(cfg)
+    npz = os.path.join(str(tmp_path), "frozen.npz")
+    np.savez(npz, **{k: np.asarray(v)
+                     for k, v in _flatten(params).items()})
+    opt = cfglib.dataclasses.replace(
+        cfg.optimizer, orthogonalize_to=[npz], deflate_c=deflate_c)
+    return cfglib.dataclasses.replace(cfg, optimizer=opt)
+
+
+def test_minsr_penalty_guard_warns(tmp_path):
+    """penalty + minsr is the documented silent-collapse mode (BASELINE.md
+    r3): the builder must warn. With deflation (the metric-compatible
+    path) it must NOT."""
+    import warnings
+
+    cfg = _tiny_penalty_cfg(tmp_path, solver="minsr")
+    with pytest.warns(UserWarning, match="silent-collapse"):
+        build(cfg)
+
+    cfg_ok = _tiny_penalty_cfg(tmp_path, solver="minsr", deflate_c=2.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        vmc, _, _ = build(cfg_ok)
+    assert vmc.deflate_c == 2.0
+
+    cfg_dense = _tiny_penalty_cfg(tmp_path, solver="dense")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        build(cfg_dense)

@@ -98,7 +98,7 @@ def test_energy_and_grad_matches_dense_scores():
     walkers = WalkerState(s=s, log_psi=lp,
                           n_accept=jnp.zeros(48, jnp.int32),
                           n_prop=jnp.ones(48, jnp.int32))
-    e_mean, e_var, grads, e_loc = energy_and_grad(log_psi_fn, ham, v, walkers)
+    e_mean, e_var, grads, e_loc, _ = energy_and_grad(log_psi_fn, ham, v, walkers)
     o, unravel, flat = dense_scores(log_psi_fn, v, s)
     de = e_loc.to_numpy() - e_loc.to_numpy().mean()
     want = np.real(np.conj(o).T @ de) / s.shape[0]

@@ -26,7 +26,8 @@ from qmcnn_tpu.models.cnn import log_psi_apply
 from qmcnn_tpu.models.rbm import LogPsiRBM
 from qmcnn_tpu.ops import exact
 from qmcnn_tpu.ops.hamiltonians import TFIM
-from qmcnn_tpu.ops.penalty import make_frozen_state, penalty_value_and_grad
+from qmcnn_tpu.ops.penalty import (deflation_e_loc, make_frozen_state,
+                                   penalty_value_and_grad)
 from qmcnn_tpu.sampler.metropolis import MetropolisSampler
 from qmcnn_tpu.sr import SR
 from qmcnn_tpu.vmc import VMC
@@ -119,6 +120,114 @@ def test_collapse_robustness():
     assert not np.isclose(float(f), 1.0, atol=1e-4)
     gnorm = float(optax.global_norm(grads))
     assert np.isfinite(gnorm) and gnorm > 1e-8
+
+
+def test_deflation_e_loc_matches_enumeration():
+    """<d_loc> over an exact live chain == |<psi_0|psi>|^2 (normalized),
+    i.e. the deflation term's expectation is exactly the projector's
+    Rayleigh quotient — the identity that makes H + c P0 deflation exact.
+    Live psi == uniform (zero-param RBM) so the 2^N enumeration IS the
+    live chain; frozen batch by exact inverse-CDF from |psi_0|^2."""
+    model, v_f = make_rbm(jax.random.key(1))
+    _, v_0 = make_rbm(jax.random.key(2))
+    v_zero = jax.tree_util.tree_map(jnp.zeros_like, v_0)  # uniform psi
+
+    def log_psi_fn(p, ss):
+        return log_psi_apply(model, p, ss)
+
+    s_all = all_configs(N)
+    frozen = make_frozen_state(
+        log_psi_fn, v_f, frozen_batch_exact(model, v_f, s_all, 200_000))
+    lp_live = log_psi_fn(v_zero, s_all)
+    d_loc, overlap = deflation_e_loc(log_psi_fn, v_zero, s_all, lp_live,
+                                     [frozen])
+    psi_f = exact_psi(model, v_f, s_all)
+    psi_u = np.ones(len(s_all)) / np.sqrt(len(s_all))
+    f_exact = abs(np.vdot(psi_f, psi_u)) ** 2
+    # expectation identity (frozen-chain MC tolerance)
+    np.testing.assert_allclose(float(np.asarray(d_loc.re).mean()), f_exact,
+                               rtol=0.03)
+    np.testing.assert_allclose(float(overlap), f_exact, rtol=0.03)
+    # the imaginary parts must cancel in expectation (P0 Hermitian)
+    assert abs(float(np.asarray(d_loc.im).mean())) < 0.03 * f_exact + 1e-5
+
+
+def test_deflation_self_overlap():
+    """psi == psi_0: <d_loc> == 1 and every value is finite."""
+    model, v = make_rbm(jax.random.key(3))
+
+    def log_psi_fn(p, ss):
+        return log_psi_apply(model, p, ss)
+
+    s_all = all_configs(N)
+    live = frozen_batch_exact(model, v, s_all, 4096, seed=1)
+    frozen = make_frozen_state(
+        log_psi_fn, v, frozen_batch_exact(model, v, s_all, 4096, seed=2))
+    d_loc, overlap = deflation_e_loc(log_psi_fn, v, live,
+                                     log_psi_fn(v, live), [frozen])
+    assert np.all(np.isfinite(np.asarray(d_loc.re)))
+    assert np.all(np.isfinite(np.asarray(d_loc.im)))
+    np.testing.assert_allclose(float(overlap), 1.0, rtol=0.05)
+
+
+@pytest.mark.slow
+def test_deflation_finds_first_excited_under_minsr():
+    """THE r3 fix validation: under the sample-space minSR solver the
+    additive beta-penalty collapses back onto the ground state (the
+    solver rebuilds its update from e_loc residuals and never sees the
+    penalty gradient — BASELINE.md r3, runs/j1j2_4x4_excited_minsr.csv);
+    deflation folds the projector INTO e_loc, so the same solver must now
+    find E1."""
+    n = 6
+    lat = chain(n)
+    ham = TFIM(lat, h=1.0)
+    h_dense = exact.sparse_tfim(n, lat.nn_bonds, j=1.0, h=1.0).toarray()
+    evals = np.sort(np.linalg.eigvalsh(h_dense))
+    e0, e1 = float(evals[0]), float(evals[1])
+
+    model, params = make_rbm(jax.random.key(0), scale=0.1, n=n, alpha=4)
+
+    def log_psi_fn(p, s):
+        return log_psi_apply(model, p, s)
+
+    def make_vmc(penalty=(), deflate_c=0.0, lr=0.03, steps=1500):
+        sampler = MetropolisSampler(log_psi_fn, n_sites=n, move="flip")
+        sr = SR(solver="minsr", diag_shift0=0.05, diag_shift_decay=1.0,
+                diag_shift_min=0.05)
+        sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
+        return VMC(log_psi_fn=log_psi_fn, ham=ham, sampler=sampler,
+                   optimizer=optax.chain(optax.clip_by_global_norm(1.0),
+                                         optax.sgd(sched)),
+                   n_sweeps=1, sr=sr,
+                   penalty_states=penalty, deflate_c=deflate_c)
+
+    def train(vmc, p, key, n_steps, m=512):
+        st = vmc.init_state(key, m, p)
+        ids = jnp.arange(m)
+        st = vmc.thermalize(st, jax.random.fold_in(key, 1), ids, 30)
+        run = jax.jit(lambda s, k: vmc.run_steps(s, k, ids, 50))
+        for c in range(n_steps // 50):
+            st, mm = run(st, jax.random.fold_in(key, 100 + c))
+        return st, mm
+
+    st0, mm0 = train(make_vmc(steps=300), params, jax.random.key(10), 300)
+    e_ground = float(np.asarray(mm0.energy_re)[-10:].mean())
+    assert abs(e_ground - e0) / abs(e0) < 0.02
+
+    s_all = all_configs(n)
+    frozen = make_frozen_state(
+        log_psi_fn, jax.lax.stop_gradient(st0.params),
+        frozen_batch_exact(model, st0.params, s_all, 4096))
+    noise = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * jax.random.normal(jax.random.key(42), x.shape),
+        st0.params)
+    c = 3.0 * (e1 - e0)  # comfortably above the gap
+    st1, mm = train(make_vmc((frozen,), deflate_c=c, steps=1500), noise,
+                    jax.random.key(11), 1500)
+    e_excited = float(np.asarray(mm.energy_re)[-10:].mean())
+    f_final = float(np.asarray(mm.overlap)[-10:].mean())
+    assert f_final < 0.1, f_final
+    assert abs(e_excited - e1) / abs(e1) < 0.03, (e_excited, e1, e0)
 
 
 @pytest.mark.slow

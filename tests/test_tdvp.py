@@ -89,7 +89,7 @@ def test_imag_rhs_is_minus_sr_natural_gradient():
     walkers = WalkerState(s=s, log_psi=lp,
                           n_accept=jnp.zeros((32,), jnp.int32),
                           n_prop=jnp.zeros((32,), jnp.int32))
-    _, _, grads, e_loc = energy_and_grad(log_psi_fn, ham, params, walkers)
+    _, _, grads, e_loc, _ = energy_and_grad(log_psi_fn, ham, params, walkers)
     sr = SR(solver="minsr", diag_shift0=shift, diag_shift_decay=1.0,
             diag_shift_min=shift)
     delta, _, _ = sr.solve(log_psi_fn, params, s, grads,
