@@ -281,6 +281,13 @@ class RunConfig:
     init_from: Optional[str] = None
     #: which step to read from init_from (None = latest)
     init_from_step: Optional[int] = None
+    #: RELATIVE stddev of an isotropic gaussian kick added to the params
+    #: AFTER the init_from transfer (ignored without init_from / on
+    #: resume): each leaf is perturbed by init_noise x its own RMS.
+    #: Saddle breaking for warm starts that begin at a stationary point —
+    #: e.g. excited-state runs deflating away the very state they start
+    #: from. ~0.05 = a 5% kick
+    init_noise: float = 0.0
     #: print a loud warning if a single device dispatch blocks longer than
     #: this many seconds (a wedged TPU tunnel otherwise hangs silently —
     #: observed on the tunneled v5e). 0 disables.

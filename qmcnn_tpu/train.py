@@ -16,6 +16,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 import numpy as np
 
@@ -120,6 +121,26 @@ def train(cfg, ckpt_manager=None, logger=None):
 
         params = warm_start(params, cfg.run.init_from,
                             step=cfg.run.init_from_step)
+        if cfg.run.init_noise > 0:
+            # symmetry/saddle breaking on warm starts: a converged state
+            # is a stationary point of its own optimization (and, under
+            # deflation, an unstable EIGENSTATE of the deflated operator)
+            # — a small isotropic kick lets the run move off it without
+            # waiting on MC noise (the by-hand recipe of the r3 excited
+            # attempts, now a config knob)
+            nkey = jax.random.key(cfg.run.seed + 424242)
+            leaves, treedef = jax.tree_util.tree_flatten(params)
+            nkeys = jax.random.split(nkey, len(leaves))
+            # RELATIVE kick: init_noise x each leaf's own RMS, so one
+            # setting works across layers/param_scales (an absolute 0.05
+            # kick equals the whole param scale of a scale-0.05 net and
+            # destroys the state — measured in the r4 smoke run)
+            leaves = [
+                leaf + (cfg.run.init_noise
+                        * jnp.sqrt(jnp.mean(leaf * leaf))
+                        * jax.random.normal(k, leaf.shape, leaf.dtype))
+                for k, leaf in zip(nkeys, leaves)]
+            params = jax.tree_util.tree_unflatten(treedef, leaves)
 
     key = jax.random.key(cfg.run.seed + 100)
     state = sharded.init_state(jax.random.fold_in(key, 0), m, params)
