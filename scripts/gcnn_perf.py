@@ -25,13 +25,16 @@ from qmcnn_tpu.vmc import energy_and_grad
 
 
 def timed(fn, *args, n=5, warmup=2):
+    # block EVERY call: blocking only on the last output was observed to
+    # return early through the tunnel (a 1.45 s step "measured" at
+    # 0.58 ms, runs/r4_gcnn_profile_true.txt) — per-call sync costs ~ms
+    # against the >100 ms phases this script times
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out = jax.block_until_ready(fn(*args))
     return (time.perf_counter() - t0) / n, out
 
 
@@ -120,6 +123,48 @@ def main():
     print(f"forward 4096    : {t_fwd*1e3:9.2f} ms  "
           f"({t_fwd/4*1e3:.2f} ms/1024)"
           + mfu_tag(fwd, t_fwd, state.params, s_big))
+
+    # ---- TRIP-CORRECTED true MFU (r4) ------------------------------------
+    # XLA's cost analysis counts a scan/fori BODY ONCE, so every lowered
+    # executable containing an inner loop under-reports FLOPs by the trip
+    # count: the sweep scans n_sites proposals, chunked E_loc scans
+    # M/chunk chunks. Discovered via the r4 chunk ladder — the reported
+    # E_loc "GFLOP/call" doubled exactly with chunk size. Compose the true
+    # per-step FLOPs from loop-free lowerings scaled by known trip counts:
+    #   sweep  = n_proposals x one-proposal FLOPs (loop-free)
+    #   E_loc  = (M/chunk) x one-chunk FLOPs (lowered UNCHUNKED at chunk M)
+    #   grad   = (E_loc+grad) - (E_loc) at the same chunking (the trip
+    #            artifact cancels in the difference; backward has no loop)
+    #   solve  = lowered standalone (loop-free when jacobian_chunk=None)
+    if args.mfu:
+        keys1 = jax.vmap(lambda w: jax.random.fold_in(key, w))(ids)
+        prop = jax.jit(lambda st, ks: vmc.sampler._proposal_step(
+            st.params, st.walkers, ks))
+        fl_prop = compiled_flops(prop, state, keys1)
+        n_props = vmc.n_sweeps * vmc.sampler._sweep_size
+        chunk = vmc.chunk_size or m
+        s_chunk = state.walkers.s[:chunk]
+        lp_chunk = jax.tree_util.tree_map(lambda x: x[:chunk],
+                                          state.walkers.log_psi)
+        eloc_chunk = jax.jit(lambda p, s, lp: local_energy(
+            vmc.log_psi_fn, p, vmc.ham, s, lp, chunk_size=None).re)
+        fl_chunk = compiled_flops(eloc_chunk, state.params, s_chunk, lp_chunk)
+        fl_eloc_low = compiled_flops(eloc, state)
+        fl_grad_low = compiled_flops(grad, state)
+        fl_sr = (compiled_flops(sr, state, grads, e)
+                 if vmc.sr is not None else 0.0)
+        if None not in (fl_prop, fl_chunk, fl_eloc_low, fl_grad_low):
+            fl_true = (n_props * fl_prop
+                       + (m // chunk) * fl_chunk
+                       + (fl_grad_low - fl_eloc_low)
+                       + (fl_sr or 0.0))
+            u = mfu(fl_true, t_step, cfg.model.compute_dtype)
+            print(f"TRUE full step  : {fmt_mfu(u)} MFU "
+                  f"({fl_true/1e9:,.1f} GFLOP/step trip-corrected: "
+                  f"{n_props}x{fl_prop/1e9:.1f} sweep + "
+                  f"{m // chunk}x{fl_chunk/1e9:.1f} E_loc + "
+                  f"{(fl_grad_low - fl_eloc_low)/1e9:.1f} grad + "
+                  f"{(fl_sr or 0)/1e9:.1f} solve)")
 
 
 if __name__ == "__main__":
