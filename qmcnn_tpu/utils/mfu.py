@@ -67,6 +67,74 @@ def compiled_flops(fn, *args, **kwargs) -> Optional[float]:
         return None
 
 
+def true_step_flops(vmc, state, ids) -> Optional[float]:
+    """Trip-corrected FLOPs of ONE vmc.step (r4 fix).
+
+    XLA's cost analysis counts a scan/fori BODY ONCE, so lowering the
+    full step under-reports FLOPs by each inner loop's trip count — the
+    sweep scans n_sweeps x sweep_size proposals and chunked E_loc scans
+    M/chunk chunks (measured r4: the reported hero full-step MFU was
+    3.4% vs 36.8% trip-corrected, BASELINE.md). Compose from loop-free
+    lowerings scaled by known trip counts:
+      sweep  = n_proposals x one-proposal FLOPs
+      E_loc  = (M/chunk) x one-chunk FLOPs (lowered unchunked at chunk M)
+      grad   = (E_loc+grad) - E_loc at the same chunking (artifact
+               cancels in the difference; the backward has no loop)
+      solve  = lowered standalone (loop-free when jacobian_chunk=None;
+               a chunked Jacobian still under-counts — accepted, noted)
+    Returns None when any piece has no cost model (CPU, pallas sweep).
+    """
+    import jax.numpy as jnp
+
+    from qmcnn_tpu.ops.local_energy import local_energy
+    from qmcnn_tpu.vmc import energy_and_grad
+
+    if getattr(vmc.sampler, "backend", None) == "pallas":
+        return None  # fused kernel: no cost model for the real sweep
+    m = int(state.walkers.s.shape[0])
+    key = jax.random.key(0)
+    keys = jax.vmap(lambda w: jax.random.fold_in(key, w))(ids)
+    fl_prop = compiled_flops(
+        lambda st, ks: vmc.sampler._proposal_step(st.params, st.walkers, ks),
+        state, keys)
+    n_props = vmc.n_sweeps * vmc.sampler._sweep_size
+    chunk = vmc.chunk_size or m
+    s_chunk = state.walkers.s[:chunk]
+    lp_chunk = jax.tree_util.tree_map(lambda x: x[:chunk],
+                                      state.walkers.log_psi)
+    fl_chunk = compiled_flops(
+        lambda p, s, lp: local_energy(vmc.log_psi_fn, p, vmc.ham, s, lp,
+                                      chunk_size=None).re,
+        state.params, s_chunk, lp_chunk)
+    fl_eloc = compiled_flops(
+        lambda st: local_energy(vmc.log_psi_fn, st.params, vmc.ham,
+                                st.walkers.s, st.walkers.log_psi,
+                                chunk_size=vmc.chunk_size).re, state)
+    fl_grad = compiled_flops(
+        lambda st: energy_and_grad(vmc.log_psi_fn, vmc.ham, st.params,
+                                   st.walkers,
+                                   chunk_size=vmc.chunk_size)[2], state)
+    if None in (fl_prop, fl_chunk, fl_eloc, fl_grad):
+        return None
+    total = (n_props * fl_prop + (m // chunk) * fl_chunk
+             + (fl_grad - fl_eloc))
+    if vmc.sr is not None:
+        e = jax.jit(lambda st: local_energy(
+            vmc.log_psi_fn, st.params, vmc.ham, st.walkers.s,
+            st.walkers.log_psi, chunk_size=vmc.chunk_size))(state)
+        grads = jax.jit(lambda st: energy_and_grad(
+            vmc.log_psi_fn, vmc.ham, st.params, st.walkers,
+            chunk_size=vmc.chunk_size)[2])(state)
+        fl_sr = compiled_flops(
+            lambda st, g, el: vmc.sr.solve(vmc.log_psi_fn, st.params,
+                                           st.walkers.s, g, st.step,
+                                           e_loc=el)[0],
+            state, grads, e)
+        if fl_sr is not None:
+            total += fl_sr
+    return total
+
+
 def mfu(flops_per_call: Optional[float], seconds_per_call: float,
         compute_dtype: str = "float32") -> Optional[float]:
     """Fraction of chip peak: (flops/s achieved) / peak. None if unknown."""

@@ -35,7 +35,10 @@ from qmcnn_tpu.utils.mfu import compiled_flops, fmt_mfu, mfu
 PROTOCOL_NOTE = (
     "timing protocol: min-difference, identical to bench.py — each point "
     "= min over reps of an n-units-per-dispatch call, ms/unit = "
-    "(t_hi - t_lo)/(n_hi - n_lo); per-dispatch (tunnel) cost cancels.")
+    "(t_hi - t_lo)/(n_hi - n_lo); per-dispatch (tunnel) cost cancels. "
+    "FLOPs are trip-corrected (utils/mfu.true_step_flops): XLA counts "
+    "scan bodies once, so uncorrected full-step numbers under-report by "
+    "the inner-loop trip counts (the r4 '3% hero MFU' artifact).")
 
 
 def timed_diff(fn_of_n, n_lo=1, n_hi=5, reps=9):
@@ -75,8 +78,12 @@ def config_rows(path, overrides, label, reps, with_sweep=False):
         return fn(state, jax.random.fold_in(key, 1))
 
     t_step = timed_diff(steps_n, n_lo=1, n_hi=4, reps=reps)
-    step1 = jax.jit(lambda st, k: vmc.step(st, k, ids))
-    fl = compiled_flops(step1, state, jax.random.fold_in(key, 1))
+    # trip-corrected FLOPs (utils/mfu.true_step_flops): lowering the full
+    # step counts its inner scan bodies ONCE and under-reports by the
+    # trip counts — the r4 "3% hero MFU" artifact (BASELINE.md r4)
+    from qmcnn_tpu.utils.mfu import true_step_flops
+
+    fl = true_step_flops(vmc, state, ids)
     rows.append((f"{label} full step", dtype, m, t_step, fl,
                  mfu(fl, t_step, dtype)))
 
