@@ -130,7 +130,10 @@ def sweep_mfu(rate: float, compute_dtype: str = "float32"):
     proposal step (the loop body — fori_loop bodies are counted once by
     the cost model, so the body is lowered standalone) x N proposals per
     sweep, over the chip's dense peak for the compute dtype
-    (utils/mfu.py). Returns (mfu_fraction | None, flops_per_sweep | None).
+    (utils/mfu.py). Returns (mfu_fraction | None, flops_per_sweep | None,
+    flops_source: "xla" | "hand" | None) — "hand" on the pallas backend,
+    whose fused kernel has no cost model (fixed op sequence counted by
+    utils/mfu.pallas_sweep_flops_per_proposal).
 
     Note the expected magnitude: the sweep is the HBM/dispatch-bound
     phase (one-site proposals keep the forward batch at M), so its MFU is
@@ -146,25 +149,33 @@ def sweep_mfu(rate: float, compute_dtype: str = "float32"):
 
     ctx = getattr(build_sweep_fn, "last_parts", None)
     if ctx is None:
-        return None, None
+        return None, None, None
     sampler, params, state, key, ids, props_per_sweep = ctx
     if sampler.backend == "pallas":
-        # the timed sweep ran the fused Pallas kernel; lowering
-        # _proposal_step would count FLOPs of a DIFFERENT executable
-        # (utils/mfu.py contract: FLOPs of the exact timed code) —
-        # report n/a rather than a mismatched number
-        return None, None
-    keys = jax.vmap(lambda w: jax.random.fold_in(key, w))(ids)
-    step = jax.jit(lambda st, ks: sampler._proposal_step(params, st, ks))
-    per_prop = compiled_flops(step, state, keys)
-    if per_prop is None:
-        return None, None
-    per_sweep = per_prop * props_per_sweep
+        # the timed sweep ran the fused Pallas kernel, which exposes no
+        # XLA cost model — lowering _proposal_step would count FLOPs of a
+        # DIFFERENT executable. The kernel's op sequence is fixed, so use
+        # the hand FLOP model instead, labeled flops_source="hand"
+        # (utils/mfu.pallas_sweep_flops_per_proposal; VERDICT r4 weak #5).
+        from qmcnn_tpu.utils.mfu import pallas_sweep_flops_per_proposal
+
+        per_walker = pallas_sweep_flops_per_proposal(
+            params, LATTICE, move=sampler.move)
+        per_sweep = per_walker * N_WALKERS * props_per_sweep
+        src = "hand"
+    else:
+        keys = jax.vmap(lambda w: jax.random.fold_in(key, w))(ids)
+        step = jax.jit(lambda st, ks: sampler._proposal_step(params, st, ks))
+        per_prop = compiled_flops(step, state, keys)
+        if per_prop is None:
+            return None, None, None
+        per_sweep = per_prop * props_per_sweep
+        src = "xla"
     achieved = per_sweep * (rate / N_WALKERS)  # sweeps/s * FLOP/sweep
     peak = device_peak_flops(compute_dtype)
     if peak is None:
-        return None, per_sweep
-    return achieved / peak, per_sweep
+        return None, per_sweep, src
+    return achieved / peak, per_sweep, src
 
 
 def workload_fingerprint() -> str:
@@ -211,6 +222,10 @@ def main():
                    choices=["float32", "bfloat16"],
                    help="model compute dtype for A/B runs (the recorded "
                         "bench always measures the shipped default)")
+    p.add_argument("--captures", type=int, default=5,
+                   help="independent min-difference captures; the JSON "
+                        "reports their median as value plus min/max band "
+                        "(tunnel jitter vs regression, VERDICT r4 weak #2)")
     args = p.parse_args()
 
     if args.cpu_baseline:
@@ -232,7 +247,16 @@ def main():
           "two-point difference) — per-dispatch tunnel cost cancels; "
           "scripts/mfu_report.py uses the identical protocol.",
           file=sys.stderr)
-    rate = measure_rate(compute_dtype=args.compute_dtype)
+    # k independent captures (each its own min-difference rate): the
+    # median is the headline, the min/max band is what separates a real
+    # regression from tunnel jitter — a single point could not (the
+    # 278.6k -> 265.2k four-round "drift" lived entirely inside the
+    # published 240-307k band; VERDICT r4 weak #2).
+    k = max(1, args.captures)
+    rates = sorted(measure_rate(compute_dtype=args.compute_dtype)
+                   for _ in range(k))
+    rate = rates[k // 2] if k % 2 else 0.5 * (rates[k // 2 - 1]
+                                              + rates[k // 2])
     vs = None
     if not args.no_baseline:
         try:
@@ -241,17 +265,21 @@ def main():
         except Exception as e:  # never let the baseline sink the bench
             print(f"# cpu baseline unavailable: {e}", file=sys.stderr)
     try:
-        mfu_frac, _ = sweep_mfu(rate, args.compute_dtype)
+        mfu_frac, _, mfu_src = sweep_mfu(rate, args.compute_dtype)
     except Exception as e:  # never let the cost model sink the bench
         print(f"# sweep MFU unavailable: {e}", file=sys.stderr)
-        mfu_frac = None
+        mfu_frac, mfu_src = None, None
     print(json.dumps({
         "metric": "walker_sweeps_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "sweeps/s/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "sweep_mfu": round(mfu_frac, 4) if mfu_frac is not None else None,
+        "flops_source": mfu_src,
         "chip_lock": lock_status,
+        "captures": k,
+        "band_min": round(rates[0], 2),
+        "band_max": round(rates[-1], 2),
     }))
 
 

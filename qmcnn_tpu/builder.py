@@ -458,6 +458,9 @@ def resolve_sampler_backend(cfg: Config) -> str:
     sweep everywhere else."""
     b = cfg.sampler.backend
     pallas_ok = (cfg.model.kind == "cnn"
+                 # (1 + alpha H) wrapping changes |psi| itself — the fused
+                 # kernel would sample the bare CNN (same reason as jastrow)
+                 and cfg.model.lanczos_alpha is None
                  and not cfg.model.complex_params
                  and not cfg.model.translation_average
                  and not cfg.model.point_group_average
@@ -507,6 +510,26 @@ def build(cfg: Config, axis_name: Optional[str] = None
         jax.random.key(cfg.run.seed),
         jnp.ones((1, lattice.n_sites), jnp.float32),
     )
+    if cfg.model.lanczos_alpha is not None:
+        # phi = (1 + alpha H) psi as a trainable ansatz (ops/lanczos.py):
+        # wrap AFTER model composition so priors/projections are inside,
+        # BEFORE the sampler so the walk targets |phi|^2. Base leaves keep
+        # their paths (alpha is a separate top-level collection), so warm
+        # starts from plain-model checkpoints transfer unchanged.
+        from qmcnn_tpu.ops.lanczos import lanczos_init_alpha, lanczos_wrap
+
+        if resolve_sampler_kind(cfg) == "direct":
+            raise ValueError(
+                "model.lanczos_alpha needs Metropolis sampling: the ARNN "
+                "conditionals sample |psi|^2, not |(1+aH)psi|^2")
+        if cfg.sampler.backend == "pallas":
+            raise ValueError(
+                "model.lanczos_alpha runs on the xla sampler backend (the "
+                "fused Pallas sweep computes the bare CNN forward only)")
+        base_fn = log_psi_fn
+        log_psi_fn = lanczos_wrap(base_fn, ham)
+        params = dict(params)
+        params["lanczos"] = lanczos_init_alpha(cfg.model.lanczos_alpha)
     if resolve_sampler_kind(cfg) == "direct":
         from qmcnn_tpu.models.arnn import conditional_fn
         from qmcnn_tpu.sampler.direct import DirectSampler
@@ -564,6 +587,17 @@ def build(cfg: Config, axis_name: Optional[str] = None
         from qmcnn_tpu.utils import memory
 
         chunk_size = memory.auto_chunk_size(cfg, lattice, ham, n_params)
+        if cfg.model.lanczos_alpha is not None:
+            # the wrapped log_psi internally expands each batch element by
+            # K more forwards (its own E_loc), so the training E_loc's
+            # working set is K^2 x the estimator's model — scale the auto
+            # chunk down by K and round to a divisor of M (local_energy's
+            # divisibility contract)
+            m_w = cfg.sampler.n_walkers
+            target = max(1, (chunk_size or m_w) // ham.n_conn)
+            while m_w % target:
+                target -= 1
+            chunk_size = None if target >= m_w else target
     sr = build_sr(cfg, lattice, ham, n_params)
     penalty_states = ()
     if cfg.optimizer.orthogonalize_to:

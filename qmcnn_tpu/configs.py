@@ -115,6 +115,16 @@ class ModelConfig:
     #: PixelCNN raster-causal masked-conv trunk (2D lattices; channels =
     #: `channels`, spatial weight sharing, O(k^2 C^2) params)
     arnn_conv_kernel: int = 0
+    #: Lanczos-improved variational ansatz (ops/lanczos.lanczos_wrap):
+    #: non-null wraps the built model as phi = (1 + alpha H) psi with
+    #: TRAINABLE alpha initialized here (a good init = the alpha* a
+    #: measurement-time `measure --lanczos-step` reported). The exact
+    #: identity log phi = log psi + log(1 + alpha E_loc) makes one Krylov
+    #: step part of the ansatz — the structural rung the kagome-27 arm-I
+    #: diagnostic pointed at (BASELINE.md r4). Training E_loc costs K^2
+    #: base forwards per sample (K = hamiltonian connected states), so
+    #: keep n_walkers modest; xla sampler backend only.
+    lanczos_alpha: Optional[float] = None
     #: ViT-only (kind='vit'; channels = constant per-block width, one entry
     #: per transformer block): patch edge (must divide every lattice dim)
     vit_patch: int = 2
@@ -281,6 +291,13 @@ class RunConfig:
     init_from: Optional[str] = None
     #: which step to read from init_from (None = latest)
     init_from_step: Optional[int] = None
+    #: net2net-style width expansion for init_from: ALSO transfer leaves
+    #: whose shape is strictly contained in the fresh leaf's (source block
+    #: embedded at the leading corner, fresh init fills the widened
+    #: channels — the transferred function is perturbed only at second
+    #: order). For widening a converged rung (e.g. C=10 -> C=12 GCNN)
+    #: without a cold start. See utils/transfer.transfer_params.
+    init_expand: bool = False
     #: RELATIVE stddev of an isotropic gaussian kick added to the params
     #: AFTER the init_from transfer (ignored without init_from / on
     #: resume): each leaf is perturbed by init_noise x its own RMS.
@@ -299,6 +316,13 @@ class RunConfig:
     #: from ckpt_dir). Null = no heartbeat. Normally set by the supervisor
     #: via --override, not by hand.
     heartbeat_path: Optional[str] = None
+    #: post-checkpoint settle: seconds to pause after each Orbax save
+    #: before launching the next dispatch. All three r4 tunnel wedges
+    #: clustered within ~25 steps of a (synchronous) save (BASELINE.md r4
+    #: ops note), so train() already pings the device after every save and
+    #: logs save/dispatch timestamps to <heartbeat_path>.events; this knob
+    #: adds a cool-down for wedge-prone workloads. 0 = ping only.
+    save_settle_s: float = 0.0
     #: multi-host: call jax.distributed.initialize() before any device use
     #: (SURVEY.md P3). On TPU pods leave the address/count/id fields null —
     #: they auto-detect from the pod metadata; for manual process groups

@@ -154,3 +154,62 @@ def lanczos_step(h1: float, h2: float, h3: float
     beta = min(roots, key=energy)
     alpha = beta / (1.0 - beta * h1)
     return float(alpha), float(energy(beta)), h1
+
+
+def lanczos_wrap(base_log_psi_fn, ham, inner_chunk: Optional[int] = None):
+    """Make phi = (1 + alpha H) psi_theta a VARIATIONAL ansatz (r5).
+
+    The measurement-time ``lanczos_step`` above evaluates the energy of
+    (1 + alpha H) psi at FROZEN theta; the r4 kagome-27 diagnostic
+    (BASELINE.md r5 arm I) showed one such Krylov step recovers ~1/3 of
+    the residual plateau — i.e. the missing structure is short-Krylov-
+    reachable. This wrapper OPTIMIZES THROUGH the (1 + alpha H)
+    application instead: it returns a log-amplitude function of the
+    extended parameter set (theta, alpha) with
+
+      log phi(s) = log psi_theta(s) + log(1 + alpha * E_loc^psi(s)),
+      E_loc^psi(s) = (H psi_theta)(s) / psi_theta(s),
+
+    an exact identity — no extra approximation. Everything downstream
+    (Metropolis on |phi|^2, local energy of phi, autodiff scores for
+    minSR/SPRING) composes mechanically because the result is just
+    another (params, s) -> C log-amplitude function; the training local
+    energy of phi internally costs K^2 base forwards per sample (K =
+    ham.n_conn), so keep M modest and walker-chunk (builder scales the
+    auto-chunk by K).
+
+    Parameters live beside the base variables as a SEPARATE top-level
+    collection ``{"lanczos": {"alpha": [re, im]}}`` so every base leaf
+    keeps its path — warm starts from a plain-model checkpoint transfer
+    unchanged (utils/transfer.py matches on (path, shape)), with alpha
+    fresh at its configured init.
+
+    Nodal caution: phi vanishes where alpha E_loc = -1 even if psi does
+    not; |z|^2 is clamped at 1e-24 so log stays finite, and the Metropolis
+    walk simply avoids the new nodal surface. alpha is trainable (both
+    quadratures; H is Hermitian but complex psi makes complex alpha
+    meaningful).
+    """
+    import jax.numpy as jnp
+
+    def wrapped(variables, s):
+        alpha = variables["lanczos"]["alpha"]
+        base = {k: v for k, v in variables.items() if k != "lanczos"}
+        lp = base_log_psi_fn(base, s)
+        e_loc = local_energy(base_log_psi_fn, base, ham, s, lp,
+                             chunk_size=inner_chunk)
+        z = C(1.0 + alpha[0] * e_loc.re - alpha[1] * e_loc.im,
+              alpha[0] * e_loc.im + alpha[1] * e_loc.re)
+        mag2 = jnp.maximum(z.re * z.re + z.im * z.im, 1e-24)
+        return C(lp.re + 0.5 * jnp.log(mag2),
+                 lp.im + jnp.arctan2(z.im, z.re))
+
+    return wrapped
+
+
+def lanczos_init_alpha(alpha0: float):
+    """Fresh {"lanczos": {"alpha": ...}} collection at a real init value
+    (e.g. the alpha* a measurement-time lanczos_step reported)."""
+    import jax.numpy as jnp
+
+    return {"alpha": jnp.asarray([float(alpha0), 0.0], jnp.float32)}

@@ -102,6 +102,23 @@ def overlap_sq(lp_live: C, lpk_live: C, lp_on_frozen: C, lpk_frozen: C,
     return prod.re * scale
 
 
+def _chunked_fwd(fn, s: Array, chunk_size: Optional[int]) -> C:
+    """``fn(s)`` with the batch axis chunked via ``lax.map`` when it helps.
+
+    Same HBM-bounding role as local_energy's chunking (the deflation
+    forwards run inside the train step whose Hamiltonian e_loc is chunked
+    specifically to fit HBM — ADVICE r4). Falls back to one full-batch
+    call when chunking is off, the batch is small, or the chunk does not
+    divide it (frozen batches are builder-sized and need not match).
+    """
+    m = int(s.shape[0])
+    if chunk_size is None or chunk_size >= m or m % chunk_size:
+        return fn(s)
+    out = jax.lax.map(fn, s.reshape(m // chunk_size, chunk_size,
+                                    *s.shape[1:]))
+    return jax.tree_util.tree_map(lambda a: a.reshape(-1), out)
+
+
 def deflation_e_loc(
     log_psi_fn,
     params,
@@ -110,6 +127,7 @@ def deflation_e_loc(
     frozen: Sequence[FrozenState],
     axis_name: Optional[str] = None,
     exp_clip: float = 30.0,
+    chunk_size: Optional[int] = None,
 ):
     """Per-sample local energy of the deflation projector, and the overlap.
 
@@ -147,8 +165,10 @@ def deflation_e_loc(
     d_loc = C(zeros, zeros)
     overlap = jnp.zeros(())
     for f in frozen:
-        lpk_live = sg(f.log_psi_fn(f.params, s))
-        lp_on_frozen = sg(log_psi_fn(params, f.s_frozen))
+        lpk_live = sg(_chunked_fwd(lambda t: f.log_psi_fn(f.params, t),
+                                   s, chunk_size))
+        lp_on_frozen = sg(_chunked_fwd(lambda t: log_psi_fn(params, t),
+                                       f.s_frozen, chunk_size))
         # rho_k = mean exp(d2), stabilized: b * e^shift2
         d2 = C(lp_on_frozen.re - f.lp_frozen.re,
                lp_on_frozen.im - f.lp_frozen.im)

@@ -100,6 +100,44 @@ def _heartbeat(path: Optional[str], step: int) -> None:
         pass
 
 
+def _event(hb_path: Optional[str], name: str, step: int,
+           extra: str = "") -> None:
+    """Append '<unix-time> <name> <step> [extra]' to <heartbeat>.events.
+
+    Wedge forensics (BASELINE.md r4 ops note: all three r4 tunnel wedges
+    clustered within ~25 steps of an Orbax save, with async saving OFF —
+    so the mechanism is unknown): timestamping save_start/save_end/
+    dispatch_start/dispatch_end makes the save-to-wedge interval a
+    measured quantity instead of a suspicion. Best-effort, append-only
+    (a few lines per dispatch; the supervisor never reads it).
+    """
+    if not hb_path:
+        return
+    try:
+        with open(hb_path + ".events", "a") as f:
+            f.write(f"{time.time():.3f} {name} {step}"
+                    + (f" {extra}" if extra else "") + "\n")
+    except OSError:
+        pass
+
+
+def _post_save_settle(cfg, hb_path: Optional[str], step: int) -> None:
+    """Device ping (+ optional cool-down) between a save and the next
+    dispatch: if the save stalled the host/tunnel, the ping absorbs and
+    measures the stall instead of the next 40s training dispatch hitting
+    it — the suspected r4 wedge shape. Ping duration lands in .events."""
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    try:
+        jax.block_until_ready(jnp.zeros(()) + 1.0)
+    except Exception:
+        pass
+    _event(hb_path, "save_ping", step, f"{time.perf_counter() - t0:.3f}s")
+    if cfg.run.save_settle_s > 0:
+        time.sleep(cfg.run.save_settle_s)
+
+
 def train(cfg, ckpt_manager=None, logger=None):
     """Run the configured experiment; returns (final state, logger)."""
     sharded, params, lattice = build_sharded(cfg)
@@ -120,7 +158,8 @@ def train(cfg, ckpt_manager=None, logger=None):
         from qmcnn_tpu.utils.transfer import warm_start
 
         params = warm_start(params, cfg.run.init_from,
-                            step=cfg.run.init_from_step)
+                            step=cfg.run.init_from_step,
+                            expand=cfg.run.init_expand)
         if cfg.run.init_noise > 0:
             # symmetry/saddle breaking on warm starts: a converged state
             # is a stationary point of its own optimization (and, under
@@ -225,6 +264,7 @@ def train(cfg, ckpt_manager=None, logger=None):
                     "checkpoint.", flush=True))
             watchdog.daemon = True
             watchdog.start()
+        _event(hb_path, "dispatch_start", it)
         try:
             state, metrics = run_steps(state, base_key, chunk)
             jax.block_until_ready(metrics.energy_re)
@@ -232,6 +272,7 @@ def train(cfg, ckpt_manager=None, logger=None):
             if watchdog is not None:
                 watchdog.cancel()
         dt = (time.perf_counter() - t0) / chunk
+        _event(hb_path, "dispatch_end", it + chunk)
         _heartbeat(hb_path, it + chunk)
         e_re = np.asarray(metrics.energy_re)
         if cfg.run.nan_policy != "ignore" and not np.isfinite(e_re).all():
@@ -294,10 +335,15 @@ def train(cfg, ckpt_manager=None, logger=None):
         if (ckpt_manager is not None
                 and (it // cfg.run.ckpt_every)
                 > ((it - chunk) // cfg.run.ckpt_every)):
+            _event(hb_path, "save_start", it)
             ckpt_manager.save(it, state)
+            _event(hb_path, "save_end", it)
+            _post_save_settle(cfg, hb_path, it)
 
     if ckpt_manager is not None:
+        _event(hb_path, "save_start", cfg.run.n_steps)
         ckpt_manager.save(cfg.run.n_steps, state)
+        _event(hb_path, "save_end", cfg.run.n_steps)
 
     if is_main:
         e_tail, e_err = logger.tail_energy()

@@ -108,12 +108,24 @@ def _strip_inner(key: str) -> str:
     return "/".join(p for p in key.split("/") if p != "inner")
 
 
-def transfer_params(fresh: Any, source: Any) -> Tuple[Any, int, int]:
+def transfer_params(fresh: Any, source: Any,
+                    expand: bool = False) -> Tuple[Any, int, int]:
     """Copy leaves of ``source`` into ``fresh`` where key-path and shape
     match; exact paths take priority, then a wrapper-transparent retry
     that treats 'inner' nesting segments as transparent on both sides
     (skipped for keys that would become ambiguous). Returns (merged
-    pytree with fresh's structure, n_copied, n_kept_fresh)."""
+    pytree with fresh's structure, n_copied, n_kept_fresh).
+
+    ``expand=True`` (run.init_expand) additionally transfers leaves whose
+    path matches but whose shape is strictly CONTAINED in the fresh
+    leaf's: the source block is embedded at the leading corner and the
+    fresh init supplies the new rows/columns (net2net-style width
+    expansion). For the conv kernels here — (k, k, c_in, c_out) — widened
+    channels start at the fresh scale (~param_scale), so the transferred
+    function is perturbed only at second order (new outputs meet
+    near-fresh weights downstream): a widened rung resumes near its
+    parent's energy instead of cold-starting (r5; the d8/d10/d12 direct
+    ladder motivates widening at matched budget, BASELINE.md r4)."""
     src = _flatten(source)
     norm_counts: dict = {}
     for k in src:
@@ -127,10 +139,29 @@ def transfer_params(fresh: Any, source: Any) -> Tuple[Any, int, int]:
         key = "/".join(_key_str(k) for k in path)
         cand = src.get(key)
         if cand is None or np.shape(cand) != np.shape(leaf):
-            cand = src_norm.get(_strip_inner(key))
+            alt = src_norm.get(_strip_inner(key))
+            if alt is not None and (np.shape(alt) == np.shape(leaf)
+                                    or cand is None):
+                cand = alt
         if cand is not None and np.shape(cand) == np.shape(leaf):
             copied[0] += 1
             return np.asarray(cand).astype(np.asarray(leaf).dtype)
+        if (expand and cand is not None
+                and np.ndim(cand) == np.ndim(leaf)
+                and all(cs <= ls for cs, ls in zip(np.shape(cand),
+                                                   np.shape(leaf)))):
+            # fresh entries at 0.1x their init: full-scale fan_in entries
+            # would perturb the transferred function at O(1) (new channels
+            # contribute immediately), while EXACT zeros are a dead saddle
+            # (a zero-in/zero-out block gets zero gradient — the classic
+            # net2net pitfall). 0.1x keeps the start near the parent
+            # energy AND breaks the new-channel symmetry.
+            out = np.array(leaf, copy=True) * np.asarray(
+                0.1, np.asarray(leaf).dtype)
+            out[tuple(slice(0, d) for d in np.shape(cand))] = (
+                np.asarray(cand).astype(out.dtype))
+            copied[0] += 1
+            return out
         copied[1] += 1
         return leaf
 
@@ -139,10 +170,12 @@ def transfer_params(fresh: Any, source: Any) -> Tuple[Any, int, int]:
 
 
 def warm_start(fresh_params: Any, directory: str,
-               step: Optional[int] = None, field: str = "params") -> Any:
+               step: Optional[int] = None, field: str = "params",
+               expand: bool = False) -> Any:
     """Load + transfer, with a one-line report."""
     source = load_checkpoint_params(directory, step, field=field)
-    merged, n_copied, n_fresh = transfer_params(fresh_params, source)
+    merged, n_copied, n_fresh = transfer_params(fresh_params, source,
+                                                expand=expand)
     print(f"warm-start from {directory} ({field}): {n_copied} param leaves "
           f"transferred, {n_fresh} kept at fresh init")
     if n_copied == 0:

@@ -110,7 +110,7 @@ def energy_and_grad(
         frozen, c = deflate
         d_loc, overlap = deflation_e_loc(
             log_psi_fn, params, walkers.s, walkers.log_psi, frozen,
-            axis_name=axis_name)
+            axis_name=axis_name, chunk_size=chunk_size)
         e_loc = e_loc + d_loc * c
     e_mean_a = (pmean_c(e_loc.mean(), axis_name) if deflate is not None
                 else e_mean)

@@ -137,34 +137,21 @@ def main():
     #            artifact cancels in the difference; backward has no loop)
     #   solve  = lowered standalone (loop-free when jacobian_chunk=None)
     if args.mfu:
-        keys1 = jax.vmap(lambda w: jax.random.fold_in(key, w))(ids)
-        prop = jax.jit(lambda st, ks: vmc.sampler._proposal_step(
-            st.params, st.walkers, ks))
-        fl_prop = compiled_flops(prop, state, keys1)
-        n_props = vmc.n_sweeps * vmc.sampler._sweep_size
-        chunk = vmc.chunk_size or m
-        s_chunk = state.walkers.s[:chunk]
-        lp_chunk = jax.tree_util.tree_map(lambda x: x[:chunk],
-                                          state.walkers.log_psi)
-        eloc_chunk = jax.jit(lambda p, s, lp: local_energy(
-            vmc.log_psi_fn, p, vmc.ham, s, lp, chunk_size=None).re)
-        fl_chunk = compiled_flops(eloc_chunk, state.params, s_chunk, lp_chunk)
-        fl_eloc_low = compiled_flops(eloc, state)
-        fl_grad_low = compiled_flops(grad, state)
-        fl_sr = (compiled_flops(sr, state, grads, e)
-                 if vmc.sr is not None else 0.0)
-        if None not in (fl_prop, fl_chunk, fl_eloc_low, fl_grad_low):
-            fl_true = (n_props * fl_prop
-                       + (m // chunk) * fl_chunk
-                       + (fl_grad_low - fl_eloc_low)
-                       + (fl_sr or 0.0))
+        # one composition site: utils/mfu.true_step_flops owns the trip
+        # correction AND the backend guard (returns None on the pallas
+        # sweep — lowering _proposal_step there would count FLOPs of a
+        # different executable than the one t_step timed; ADVICE r4)
+        from qmcnn_tpu.utils.mfu import true_step_flops
+
+        fl_true = true_step_flops(vmc, state, ids)
+        if fl_true is None:
+            print("TRUE full step  : n/a (timed backend exposes no exact "
+                  "cost model — pallas fused sweep or CPU)")
+        else:
             u = mfu(fl_true, t_step, cfg.model.compute_dtype)
             print(f"TRUE full step  : {fmt_mfu(u)} MFU "
-                  f"({fl_true/1e9:,.1f} GFLOP/step trip-corrected: "
-                  f"{n_props}x{fl_prop/1e9:.1f} sweep + "
-                  f"{m // chunk}x{fl_chunk/1e9:.1f} E_loc + "
-                  f"{(fl_grad_low - fl_eloc_low)/1e9:.1f} grad + "
-                  f"{(fl_sr or 0)/1e9:.1f} solve)")
+                  f"({fl_true/1e9:,.1f} GFLOP/step trip-corrected; "
+                  f"composition in utils/mfu.true_step_flops)")
 
 
 if __name__ == "__main__":

@@ -61,7 +61,10 @@ def timed_diff(fn_of_n, n_lo=1, n_hi=5, reps=9):
     return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
 
 
-def config_rows(path, overrides, label, reps, with_sweep=False):
+def config_rows(path, overrides, label, reps, with_sweep=False,
+                bisect=False):
+    import functools
+
     cfg = cfglib.load(path, tuple(overrides))
     vmc, params, lattice = build(cfg)
     m = cfg.sampler.n_walkers
@@ -72,10 +75,30 @@ def config_rows(path, overrides, label, reps, with_sweep=False):
     rows = []
 
     # full step: vmc.run_steps is the production multi-step executable
-    # (lax.scan over steps, one dispatch); per-step key derived on device
+    # (lax.scan over steps, one dispatch); per-step key derived on device.
+    # The jitted wrapper MUST be built once per n and reused across timing
+    # reps: a fresh `jax.jit(lambda ...)` per call is a new cache key, so
+    # every rep would pay a full retrace + executable load — the r4 hero
+    # 5.6 s/step vs 1.48 s/step anomaly (ADVICE r4 medium; the per-rep
+    # constant does NOT cancel in the two-point difference because trace/
+    # load time grows with the scan length n).
+    @functools.lru_cache(maxsize=None)
+    def _steps_jit(n):
+        return jax.jit(lambda st, k: vmc.run_steps(st, k, ids, n)[0])
+
     def steps_n(n):
-        fn = jax.jit(lambda st, k: vmc.run_steps(st, k, ids, n)[0])
-        return fn(state, jax.random.fold_in(key, 1))
+        return _steps_jit(n)(state, jax.random.fold_in(key, 1))
+
+    if bisect:  # per-n timing ladder for the measurement-anomaly audit
+        for n in (1, 2, 4, 8):
+            jax.block_until_ready(steps_n(n))
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(steps_n(n))
+                ts.append(time.perf_counter() - t0)
+            print(f"# bisect {label}: n={n} min={min(ts):.3f}s "
+                  f"({min(ts) / n:.3f} s/step raw)", file=sys.stderr)
 
     t_step = timed_diff(steps_n, n_lo=1, n_hi=4, reps=reps)
     # trip-corrected FLOPs (utils/mfu.true_step_flops): lowering the full
@@ -88,10 +111,13 @@ def config_rows(path, overrides, label, reps, with_sweep=False):
                  mfu(fl, t_step, dtype)))
 
     if with_sweep:
-        def sweeps_n(n):
-            fn = jax.jit(lambda st, k: vmc.sampler.sample(
+        @functools.lru_cache(maxsize=None)
+        def _sweeps_jit(n):
+            return jax.jit(lambda st, k: vmc.sampler.sample(
                 state.params, st, k, ids, n_sweeps=n).s)
-            return fn(state.walkers, jax.random.fold_in(key, 2))
+
+        def sweeps_n(n):
+            return _sweeps_jit(n)(state.walkers, jax.random.fold_in(key, 2))
 
         t_sweep = timed_diff(sweeps_n, n_lo=1, n_hi=9, reps=reps)
         # the sweep's scan body is counted once by the cost model —
@@ -117,6 +143,9 @@ def main():
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--out", default=None,
                    help="also write the markdown table to this path")
+    p.add_argument("--bisect", action="store_true",
+                   help="print a per-n run_steps timing ladder per row "
+                        "(measurement-anomaly audit)")
     args = p.parse_args()
 
     targets = [
@@ -128,7 +157,8 @@ def main():
     for path, ov, label, with_sweep in targets:
         try:
             rows.extend(config_rows(path, ov, label, args.steps,
-                                    with_sweep=with_sweep))
+                                    with_sweep=with_sweep,
+                                    bisect=args.bisect))
         except Exception as e:
             print(f"# {label}: failed ({e})", file=sys.stderr)
 

