@@ -52,7 +52,8 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             renyi2_region=None,
             chirality: bool = False,
             sma: bool = False,
-            use_ema: bool = False):
+            use_ema: bool = False,
+            sector_momentum=None):
     measuring_ema = use_ema  # what the report records, however loaded
     # Measurement runs in f32 even when the training config computes in
     # bf16: estimators built from amplitude RATIOS tolerate bf16, but the
@@ -244,6 +245,26 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
                 mst2, mst4,
                 corr, ss_nn, dcorr, dmean)
 
+    sec_num, sec_den = [], []
+    if sector_momentum is not None:
+        # momentum-sector energy by RATIO estimators under |psi|^2 — the
+        # estimator the r4 (pi,pi) refutation named as the fix for the
+        # diverging |P psi|^2-sampled optimization (ops/observables.
+        # sector_energy_ratio). Cost: (K+1) x T forwards per walker, so
+        # scale the chunk down by the translation count T.
+        t_trans = int(np.prod(lattice.shape))
+        m_w = cfg.sampler.n_walkers
+        sec_chunk = max(1, (le_chunk or m_w) // t_trans)
+        while m_w % sec_chunk:
+            sec_chunk -= 1
+
+        def sector_once(state):
+            walkers = phys(state.walkers)
+            return observables.sector_energy_ratio(
+                vmc.log_psi_fn, state.params, walkers.s, walkers.log_psi,
+                vmc.ham, tuple(lattice.shape), tuple(sector_momentum),
+                chunk_size=sec_chunk)
+
     lz_e1, lz_g = [], []
     if lanczos:
         from qmcnn_tpu.ops import cplx
@@ -304,6 +325,12 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             e1_i, g_i = lanczos_once(state)
             lz_e1.append(e1_i)
             lz_g.append(g_i)
+        if sector_momentum is not None:
+            num_i, den_i = sector_once(state)
+            sec_num.append(np.asarray(num_i.re, np.float64)
+                           + 1j * np.asarray(num_i.im, np.float64))
+            sec_den.append(np.asarray(den_i.re, np.float64)
+                           + 1j * np.asarray(den_i.im, np.float64))
         if regions is not None:
             swap_trace.append(np.asarray(renyi2_once(state)))
         if chirality:
@@ -425,6 +452,23 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
             k = int(np.nanargmin(np.where(finite, omega, np.nan)))
             report["sma_gap_bound"] = float(omega.reshape(-1)[k])
             report["sma_gap_q_index"] = k
+    if sector_momentum is not None:
+        from qmcnn_tpu.ops.cplx import C as _C
+        from qmcnn_tpu.ops.observables import sector_energy_from_samples
+
+        pooled_n = np.concatenate(sec_num)
+        pooled_d = np.concatenate(sec_den)
+        e_q, e_q_err, w_q = sector_energy_from_samples(
+            _C(pooled_n.real, pooled_n.imag),
+            _C(pooled_d.real, pooled_d.imag))
+        e0_mean = float(np.mean(e_trace))
+        report["sector_momentum"] = [int(x) for x in sector_momentum]
+        report["sector_energy"] = e_q
+        report["sector_energy_err"] = e_q_err
+        report["sector_weight"] = w_q  # |<psi|P_q|psi>| — small weight =>
+        # amplified variance; read the error bar, not just the mean
+        report["sector_gap"] = e_q - e0_mean  # vs <H> of the same state;
+        # cross-check against sma_gap_bound at the same q (--sma)
     if fid is not None:
         report["fidelity_vs_ckpt"] = fid
     if s2 is not None:
@@ -505,6 +549,11 @@ def main(argv=None):
                         "slice 'a:b', or a comma list of sites; repeat the "
                         "flag for an entanglement-scaling scan (all "
                         "regions measured in one pass)")
+    p.add_argument("--sector-momentum", default=None,
+                   help="comma-separated integer wavenumbers m_d (q_d = "
+                        "2 pi m_d / L_d), e.g. '4,4' for (pi,pi) on 8x8: "
+                        "momentum-sector energy by |psi|^2 ratio "
+                        "estimators (no |P psi|^2 sampling)")
     p.add_argument("--ema", action="store_true",
                    help="measure the Polyak/EMA-averaged parameters saved "
                         "by an optimizer.ema_decay run instead of the last "
@@ -522,7 +571,10 @@ def main(argv=None):
                      renyi2_region=args.renyi2,
                      chirality=args.chirality,
                      sma=args.sma,
-                     use_ema=args.ema)
+                     use_ema=args.ema,
+                     sector_momentum=(
+                         [int(x) for x in args.sector_momentum.split(",")]
+                         if args.sector_momentum else None))
     print(json.dumps({k: v for k, v in report.items() if k != "szsz_corr"},
                      indent=2))
     print("szsz_corr:", np.array2string(np.asarray(report["szsz_corr"]),

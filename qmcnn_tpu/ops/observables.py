@@ -513,3 +513,120 @@ def total_spin_sq(log_psi_fn, params, s: Array, log_psi: C,
         o_re = o_re + (w * ratio.re).sum(-1)
         o_im = o_im + (w * ratio.im).sum(-1)
     return C(pmean(o_re.mean(), axis_name), pmean(o_im.mean(), axis_name))
+
+
+def translation_projected_log_psi(log_psi_fn, lattice_shape,
+                                  momentum, shift_stride: int = 1):
+    """(params, s) -> log (P_q psi)(s): the momentum-q translation
+    projection evaluated as a FUNCTION of the unprojected model.
+
+    Same math as models.cnn.TranslationAveraged (logmeanexp over rolled
+    configs with e^{i k.a} characters), but packaged for measurement-time
+    use on states TRAINED WITHOUT the projection — the building block of
+    the sector-energy ratio estimator below. Costs T = prod(L_d /
+    stride) forwards per amplitude.
+    """
+    import itertools
+
+    shifts = list(itertools.product(
+        *[range(0, L, shift_stride) for L in lattice_shape]))
+    k = [2.0 * np.pi * m / L for m, L in zip(momentum, lattice_shape)]
+    phases = np.asarray([sum(kd * ad for kd, ad in zip(k, shift))
+                         for shift in shifts], dtype=np.float32)
+
+    def plog(params, s):
+        batch = s.shape[0]
+        grid = s.reshape(batch, *lattice_shape)
+        axes = tuple(range(1, 1 + len(lattice_shape)))
+        rolled = jnp.stack([jnp.roll(grid, sh, axis=axes).reshape(batch, -1)
+                            for sh in shifts], axis=0)  # [T, B, N]
+        t = rolled.shape[0]
+        logs = log_psi_fn(params, rolled.reshape(t * batch, -1))
+        logs = C(logs.re.reshape(t, batch), logs.im.reshape(t, batch))
+        logs = C(logs.re, logs.im + jnp.asarray(phases)[:, None])
+        return cplx.logmeanexp(logs, axis=0)
+
+    return plog
+
+
+def sector_energy_ratio(log_psi_fn, params, s: Array, log_psi: C,
+                        ham, lattice_shape, momentum,
+                        shift_stride: int = 1,
+                        chunk_size: Optional[int] = None,
+                        axis_name: Optional[str] = None):
+    """Momentum-sector energy E_q by RATIO estimators under |psi|^2.
+
+    The r4 (pi,pi) refutation (BASELINE.md r4): OPTIMIZING a projected
+    net fails because sampling |P psi|^2 places walkers where log|P psi|
+    sits near nodal singularities and the E_loc/score variances diverge.
+    The fix named there — an SMA-style ratio estimator — MEASURES the
+    sector energy of an existing state without ever sampling the
+    projected distribution. With [P_q, H] = 0 and P_q^2 = P_q = P_q^+:
+
+      E_q = <psi|H P_q|psi> / <psi|P_q|psi>
+          = E_{|psi|^2}[num(s)] / E_{|psi|^2}[den(s)],
+      den(s) = (P_q psi)(s) / psi(s)          (T amplitude ratios)
+      num(s) = (H P_q psi)(s) / psi(s)
+             = diag(s) den(s) + sum_k mel_k (P_q psi)(s'_k) / psi(s)
+
+    Every integrand is a bounded sum of amplitude ratios at translated /
+    connected configurations — no |P psi|^2 sampling, no divergence. The
+    price is variance amplification when the sector weight <P_q> is
+    small (den averages to the overlap), which error bars expose
+    honestly: jackknife E_q on the host from the returned per-sample
+    arrays. Cost: (K+1) x T forwards per walker; chunk_size bounds the
+    working set exactly as local_energy does.
+
+    Returns (num C[M], den C[M]); E_q = sum(num)/sum(den) (complex
+    division; Im is a consistency diagnostic). Gap cross-check: compare
+    E_q - E_0 against the SMA bound f(q)/S(q) on the same state.
+    """
+    plog = translation_projected_log_psi(log_psi_fn, lattice_shape,
+                                         momentum, shift_stride)
+
+    def compute(args):
+        s_c, lp_c = args
+        m = s_c.shape[0]
+        kk = ham.n_conn
+        s_prime, mel, mask = ham.connected_batch(s_c)
+        pl_prime = plog(params, s_prime.reshape(m * kk, -1))
+        pl_prime = C(pl_prime.re.reshape(m, kk), pl_prime.im.reshape(m, kk))
+        ratio = cplx.cexp(C(pl_prime.re - lp_c.re[:, None],
+                            pl_prime.im - lp_c.im[:, None]))
+        w = mel * mask.astype(mel.dtype)
+        offdiag = C((w * ratio.re).sum(-1), (w * ratio.im).sum(-1))
+        pl_c = plog(params, s_c)
+        den = cplx.cexp(C(pl_c.re - lp_c.re, pl_c.im - lp_c.im))
+        diag = ham.diag_batch(s_c)
+        num = C(diag * den.re + offdiag.re, diag * den.im + offdiag.im)
+        return num, den
+
+    m_total = s.shape[0]
+    if chunk_size is None or chunk_size >= m_total:
+        num, den = compute((s, log_psi))
+    else:
+        if m_total % chunk_size:
+            raise ValueError(
+                f"chunk_size {chunk_size} must divide M={m_total}")
+        n_chunks = m_total // chunk_size
+        num, den = jax.lax.map(
+            compute, (s.reshape(n_chunks, chunk_size, -1),
+                      C(log_psi.re.reshape(n_chunks, chunk_size),
+                        log_psi.im.reshape(n_chunks, chunk_size))))
+        num = C(num.re.reshape(m_total), num.im.reshape(m_total))
+        den = C(den.re.reshape(m_total), den.im.reshape(m_total))
+    return num, den
+
+
+def sector_energy_from_samples(num: C, den: C):
+    """(E_q, E_q_err, sector_weight): complex-ratio mean with a
+    leave-one-out jackknife error on Re E_q (host-side, numpy)."""
+    nr = np.asarray(num.re, np.float64) + 1j * np.asarray(num.im, np.float64)
+    dr = np.asarray(den.re, np.float64) + 1j * np.asarray(den.im, np.float64)
+    m = nr.size
+    e_full = (nr.sum() / dr.sum()).real
+    if m < 4:
+        return float(e_full), float("nan"), float(np.abs(dr.mean()))
+    loo = ((nr.sum() - nr) / (dr.sum() - dr)).real
+    err = np.sqrt((m - 1) / m * ((loo - loo.mean()) ** 2).sum())
+    return float(e_full), float(err), float(np.abs(dr.mean()))

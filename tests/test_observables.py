@@ -522,3 +522,92 @@ def test_correlation_length_2d_peak_at_pi_pi():
     assert np.unravel_index(sq.argmax(), sq.shape) == (2, 2)  # q=(pi,pi)
     xi = observables.correlation_length(c, lat)
     assert 0.0 < xi < 4.0
+
+
+# ---- momentum-sector energy by ratio estimators (r5) ----
+
+def test_sector_energy_ratio_matches_dense():
+    """E_q from the |psi|^2 ratio estimator == the dense Rayleigh
+    quotient of the explicitly projected vector P_q psi, for a random
+    complex CNN on the N=8 Heisenberg chain at q = pi and q = 2pi/8.
+    (The r4 (pi,pi) refutation's named fix: measure the sector energy
+    WITHOUT sampling |P psi|^2.)"""
+    import itertools
+
+    from qmcnn_tpu.lattice import chain
+    from qmcnn_tpu.models.cnn import log_psi_apply
+    from qmcnn_tpu.models.rbm import LogPsiRBM
+    from qmcnn_tpu.ops import exact
+    from qmcnn_tpu.ops.hamiltonians import Heisenberg
+    from qmcnn_tpu.ops.observables import (sector_energy_ratio,
+                                           translation_projected_log_psi)
+
+    n = 8
+    lat = chain(n)
+    ham = Heisenberg(lat, marshall=True)
+    # the model must NOT be translation invariant (a spatial-sum CNN has
+    # exactly zero weight in every q != 0 sector — its projected state is
+    # identically 0 and the oracle a noise quotient); an untied RBM with
+    # complex params carries O(1) weight in every momentum sector
+    model = LogPsiRBM(lattice_shape=(n,), alpha=2, complex_params=True,
+                      tie_translations=False, param_scale=0.3)
+    v = model.init(jax.random.key(5), jnp.ones((1, n), jnp.float32))
+
+    def log_psi_fn(p, s):
+        return log_psi_apply(model, p, s)
+
+    configs = jnp.asarray(exact.all_configs(n))
+    lp = log_psi_fn(v, configs)
+    psi = np.exp(np.asarray(lp.re, np.float64)
+                 + 1j * np.asarray(lp.im, np.float64))
+    h = exact.dense_from_hamiltonian(ham)
+    p = np.abs(psi) ** 2
+    p /= p.sum()
+
+    for m_q in (4, 1):
+        # dense oracle: P psi by evaluating psi at rolled configs
+        kq = 2.0 * np.pi * m_q / n
+        ppsi = np.zeros_like(psi)
+        for a in range(n):
+            rolled = jnp.roll(configs.reshape(-1, n), a, axis=1)
+            lpa = log_psi_fn(v, rolled)
+            psa = np.exp(np.asarray(lpa.re, np.float64)
+                         + 1j * np.asarray(lpa.im, np.float64))
+            ppsi += np.exp(1j * kq * a) * psa
+        ppsi /= n
+        e_dense = float(np.real(np.conj(ppsi) @ (h @ ppsi))
+                        / np.real(np.conj(ppsi) @ ppsi))
+
+        num, den = sector_energy_ratio(log_psi_fn, v, configs, lp, ham,
+                                       (n,), (m_q,), chunk_size=64)
+        nr = (np.asarray(num.re, np.float64)
+              + 1j * np.asarray(num.im, np.float64))
+        dr = (np.asarray(den.re, np.float64)
+              + 1j * np.asarray(den.im, np.float64))
+        e_est = float(np.real((p * nr).sum() / (p * dr).sum()))
+        np.testing.assert_allclose(e_est, e_dense, rtol=2e-5)
+
+        # the projected-log building block agrees with the dense P psi
+        plog = translation_projected_log_psi(log_psi_fn, (n,), (m_q,))
+        pl = plog(v, configs)
+        got = np.exp(np.asarray(pl.re, np.float64)
+                     + 1j * np.asarray(pl.im, np.float64))
+        # some configs have exactly-zero projected amplitude by symmetry
+        # (dense ~1e-16); f32 logmeanexp leaves ~1e-6 noise there — scale
+        # the absolute tolerance by the state's amplitude magnitude
+        np.testing.assert_allclose(got, ppsi, rtol=2e-4,
+                                   atol=1e-5 * np.abs(ppsi).max())
+
+
+def test_sector_energy_jackknife_finite():
+    from qmcnn_tpu.ops.cplx import C as Cc
+    from qmcnn_tpu.ops.observables import sector_energy_from_samples
+
+    rng = np.random.default_rng(0)
+    num = Cc(jnp.asarray(rng.normal(-2, 0.1, 64), jnp.float32),
+             jnp.asarray(rng.normal(0, 0.01, 64), jnp.float32))
+    den = Cc(jnp.asarray(rng.normal(1, 0.05, 64), jnp.float32),
+             jnp.asarray(rng.normal(0, 0.01, 64), jnp.float32))
+    e, err, w = sector_energy_from_samples(num, den)
+    assert np.isfinite(e) and np.isfinite(err) and 0.5 < w < 1.5
+    assert abs(e - (-2.0)) < 0.2
