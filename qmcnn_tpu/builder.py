@@ -598,6 +598,14 @@ def build(cfg: Config, axis_name: Optional[str] = None
             while m_w % target:
                 target -= 1
             chunk_size = None if target >= m_w else target
+        if cfg.optimizer.sector_momentum is not None and chunk_size is None:
+            # the sector projector evaluates every connected state at all
+            # T translations (vmc.sector_energy_and_grad — it divides the
+            # chunk it receives by T internally), so "plain E_loc fits
+            # unchunked" does NOT mean the sector pass does: hand it the
+            # full walker count as the plain-scale budget, which chunks
+            # the sector pass at ~M/T walkers
+            chunk_size = cfg.sampler.n_walkers
     sr = build_sr(cfg, lattice, ham, n_params)
     penalty_states = ()
     if cfg.optimizer.orthogonalize_to:
@@ -646,6 +654,12 @@ def build(cfg: Config, axis_name: Optional[str] = None
             "for penalty/excited-state runs, or set optimizer.deflate_c "
             "(exact H + c|psi0><psi0| deflation folded into e_loc, "
             "which the sample-space solvers see natively).", stacklevel=2)
+    if cfg.optimizer.sector_momentum is not None and (
+            penalty_states or cfg.optimizer.deflate_c > 0):
+        raise ValueError(
+            "optimizer.sector_momentum is incompatible with "
+            "orthogonalize_to/deflate_c: both redefine the effective "
+            "local energy the solvers see")
     vmc = VMC(
         log_psi_fn=log_psi_fn,
         ham=ham,
@@ -659,6 +673,11 @@ def build(cfg: Config, axis_name: Optional[str] = None
         penalty_beta=cfg.optimizer.orth_beta,
         deflate_c=cfg.optimizer.deflate_c,
         ema_decay=cfg.optimizer.ema_decay,
+        sector_momentum=(tuple(cfg.optimizer.sector_momentum)
+                         if cfg.optimizer.sector_momentum is not None
+                         else None),
+        sector_kappa=cfg.optimizer.sector_kappa,
+        lattice_shape=tuple(lattice.shape),
     )
     # Preflight HBM sanity: a device OOM on the tunneled TPU hard-crashes
     # the worker (no RESOURCE_EXHAUSTED) and can wedge the chip for over an

@@ -218,6 +218,21 @@ class OptimizerConfig:
     #: checkpoints stay loadable only with ema_decay=0; warm-start via
     #: run.init_from instead when turning it on for an existing state).
     ema_decay: float = 0.0
+    #: momentum-sector targeting (vmc.sector_energy_and_grad): optimize
+    #: the Rayleigh quotient of the translation projection P_q psi with
+    #: bounded ratio estimators under |psi|^2 sampling — the
+    #: metric-compatible route to E(q) after the r4 refutation of
+    #: projected-net optimization (BASELINE.md (pi,pi) rows). Momentum in
+    #: index units (q_d = 2 pi m_d / L_d). Cost: the connected-state
+    #: working set grows by T = prod(shape) (auto-chunked). The model
+    #: must NOT be translation-invariant (use e.g. an untied RBM: a
+    #: spatial-sum CNN has exactly zero q != 0 weight). Incompatible with
+    #: orthogonalize_to/deflate_c.
+    sector_momentum: Optional[List[int]] = None
+    #: strength of the -kappa log <P_q> sector-weight drive: pulls the
+    #: state INTO the sector (weight -> 1), which also repairs the 1/D
+    #: estimator variance amplification of a low-overlap warm start.
+    sector_kappa: float = 0.5
 
 
 @dataclass(frozen=True)

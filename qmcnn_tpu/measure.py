@@ -77,12 +77,28 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
     key = jax.random.key(cfg.run.seed + 12345)
     state = sharded.init_state(jax.random.fold_in(key, 0),
                                cfg.sampler.n_walkers, params)
-    mgr = CheckpointManager(ckpt_dir)
-    loaded_step = mgr.latest_step()
+    if ckpt_dir.endswith(".npz"):
+        # durable .params.npz snapshot (utils/transfer): params-only by
+        # construction — skip the Orbax manager (whose constructor would
+        # try to mkdir the file path) and re-thermalize fresh walkers.
+        from qmcnn_tpu.utils.transfer import warm_start
+
+        params = warm_start(params, ckpt_dir,
+                            field="ema" if use_ema else "params")
+        state = sharded.init_state(jax.random.fold_in(key, 0),
+                                   cfg.sampler.n_walkers, params)
+        therm_sweeps = max(therm_sweeps, 50)
+        use_ema = False
+        loaded_step = None
+        mgr = None
+    else:
+        mgr = CheckpointManager(ckpt_dir)
+        loaded_step = mgr.latest_step()
     try:
-        state = mgr.restore(state)
-        loaded_step = int(state.step)
-        print(f"restored checkpoint at step {loaded_step}")
+        if mgr is not None:
+            state = mgr.restore(state)
+            loaded_step = int(state.step)
+            print(f"restored checkpoint at step {loaded_step}")
     except (ValueError, KeyError, TypeError) as exc:
         # structure/shape mismatch vs the saved run (e.g. different walker
         # count) — degrade to params-only. Transient I/O errors

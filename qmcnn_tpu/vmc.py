@@ -78,6 +78,84 @@ class StepMetrics(NamedTuple):
     overlap: Array       # sum_k F_k vs frozen states; 0.0 when no penalty
 
 
+def sector_energy_and_grad(
+    log_psi_fn,
+    ham,
+    params,
+    walkers: WalkerState,
+    lattice_shape,
+    momentum,
+    kappa: float = 0.0,
+    axis_name: Optional[str] = None,
+    chunk_size: Optional[int] = None,
+):
+    """Momentum-sector Rayleigh-quotient gradient under |psi|^2 sampling.
+
+    The r4 (pi,pi) refutation (BASELINE.md r4) showed that OPTIMIZING a
+    translation-projected net fails because sampling |P psi|^2 places
+    walkers near nodal singularities where E_loc and score variances
+    diverge. This is the named fix, completed for TRAINING: minimize
+
+        E_q(theta) = <psi|H P_q|psi> / <psi|P_q|psi>
+
+    (the Rayleigh quotient of the projected state, since P^2 = P and
+    [H, P] = 0) with every expectation taken under the UNPROJECTED
+    |psi|^2 distribution. With nhat(s) = (H P psi)(s)/psi(s) and
+    what(s) = (P psi)(s)/psi(s) — both bounded sums of amplitude ratios
+    (ops/observables.sector_energy_ratio) — and N = E[nhat], D = E[what]:
+
+        d/dtheta* E_q = (1/D) E[ O* (nhat - E_q what) ]
+
+    (the E[O*] terms cancel exactly, same covariance structure as the
+    ground-state gradient), so the whole machinery reduces to an
+    EFFECTIVE local energy
+
+        e_eff(s) = (nhat - E_q what - kappa (what - D)) / D
+
+    fed through the standard surrogate loss and (as raw residuals) into
+    minSR/SPRING. The optional kappa term is the gradient of
+    -kappa log D: it drives sector weight D toward 1, which both targets
+    the in-sector state and repairs the 1/D variance amplification when
+    the warm start barely overlaps the sector. E[e_eff] = 0 analytically;
+    the batch mean is still subtracted as a control variate.
+
+    Returns (e_q C, resid_var, grads, e_eff C[M], weight |D|).
+    """
+    from qmcnn_tpu.ops.observables import sector_energy_ratio
+
+    t_trans = 1
+    for d in lattice_shape:
+        t_trans *= int(d)
+    m = walkers.s.shape[0]
+    sec_chunk = None
+    if chunk_size is not None:
+        # the projector multiplies the connected-state working set by T:
+        # scale the HBM-bounding chunk down accordingly (largest divisor)
+        sec_chunk = max(1, chunk_size // t_trans)
+        while m % sec_chunk:
+            sec_chunk -= 1
+    num, den = sector_energy_ratio(
+        log_psi_fn, params, walkers.s, walkers.log_psi, ham,
+        tuple(lattice_shape), tuple(momentum), chunk_size=sec_chunk)
+    n_mean = pmean_c(num.mean(), axis_name)
+    d_mean = pmean_c(den.mean(), axis_name)
+    e_q = n_mean / d_mean
+    e_eff = (num - e_q * den - kappa * (den - d_mean)) / d_mean
+    eff_mean = pmean_c(e_eff.mean(), axis_name)  # 0 in expectation
+    resid_var = pmean((e_eff - eff_mean).abs2().mean(), axis_name)
+    centered = e_eff - eff_mean
+    delta = jax.lax.stop_gradient(centered)
+
+    def loss_fn(p):
+        lp = log_psi_fn(p, walkers.s)
+        return jnp.mean(delta.re * lp.re + delta.im * lp.im)
+
+    grads = jax.grad(loss_fn)(params)
+    grads = jax.tree_util.tree_map(lambda g: pmean(g, axis_name), grads)
+    weight = jnp.sqrt(d_mean.abs2())
+    return e_q, resid_var, grads, centered, weight
+
+
 def energy_and_grad(
     log_psi_fn,
     ham,
@@ -154,6 +232,16 @@ class VMC:
     #: the additive beta-penalty gradient — the metric-compatible
     #: excited-state path (works under minSR/SPRING, unlike the penalty)
     deflate_c: float = 0.0
+    #: momentum-sector targeting (sector_energy_and_grad): optimize the
+    #: Rayleigh quotient of P_q psi with bounded ratio estimators under
+    #: |psi|^2 — the metric-compatible route to E(q) that the projected-
+    #: net approach (model.momentum) cannot reach (BASELINE.md r4
+    #: (pi,pi) refutation). Needs lattice_shape; incompatible with
+    #: deflate/penalty (both redefine e_loc). The ansatz must NOT be
+    #: translation-invariant (a spatial-sum CNN has zero q != 0 weight).
+    sector_momentum: Optional[tuple] = None
+    sector_kappa: float = 0.0
+    lattice_shape: Optional[tuple] = None
     #: Polyak/EMA averaging of params (0 = off); see TrainState.ema
     ema_decay: float = 0.0
 
@@ -186,11 +274,23 @@ class VMC:
         phys = self.sampler.physical(walkers)
         deflate = ((self.penalty_states, self.deflate_c)
                    if self.penalty_states and self.deflate_c > 0 else None)
-        e_mean, e_var, grads, e_loc, overlap = energy_and_grad(
-            self.log_psi_fn, self.ham, params, phys,
-            axis_name=self.axis_name, chunk_size=self.chunk_size,
-            deflate=deflate,
-        )
+        if self.sector_momentum is not None:
+            # sector mode: the effective local energy (nhat - E_q what)/D
+            # replaces e_loc everywhere downstream — surrogate gradient
+            # AND minSR/SPRING residuals. Reported energy = E_q; the
+            # overlap metric slot carries the sector weight |<P_q>|.
+            e_mean, e_var, grads, e_loc, overlap = sector_energy_and_grad(
+                self.log_psi_fn, self.ham, params, phys,
+                self.lattice_shape, self.sector_momentum,
+                kappa=self.sector_kappa,
+                axis_name=self.axis_name, chunk_size=self.chunk_size,
+            )
+        else:
+            e_mean, e_var, grads, e_loc, overlap = energy_and_grad(
+                self.log_psi_fn, self.ham, params, phys,
+                axis_name=self.axis_name, chunk_size=self.chunk_size,
+                deflate=deflate,
+            )
         if self.penalty_states and deflate is None:
             from qmcnn_tpu.ops.penalty import penalty_value_and_grad
 
