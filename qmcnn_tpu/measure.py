@@ -512,6 +512,30 @@ def measure(cfg, ckpt_dir: str, n_samples: int = 20,
         report["lanczos_energy"] = e_lz
         report["lanczos_energy_per_site"] = e_lz / n
         report["lanczos_gain_per_site"] = (e_lz - report["energy"]) / n
+        # moment MC noise, quantified (VERDICT r4 weak #6: the arm-I
+        # 1.48% row shipped without an error bar): delete-one-block
+        # jackknife over the independent walker snapshots, propagated
+        # through the full nonlinear moments -> (alpha, E_lz) map
+        blocks = len(lz_e1)
+        if blocks >= 4:
+            e_js = []
+            for j in range(blocks):
+                e1_j = np.concatenate(
+                    [x for i, x in enumerate(lz_e1) if i != j])
+                g_j = np.concatenate(
+                    [x for i, x in enumerate(lz_g) if i != j])
+                h1j, h2j, h3j = moments_from_samples(
+                    cplx.C(e1_j.real.astype(np.float64),
+                           e1_j.imag.astype(np.float64)),
+                    cplx.C(g_j.real.astype(np.float64),
+                           g_j.imag.astype(np.float64)))
+                _, e_j, _ = lanczos_step(h1j, h2j, h3j)
+                e_js.append(e_j)
+            e_js = np.asarray(e_js, np.float64)
+            err = np.sqrt((blocks - 1) / blocks
+                          * ((e_js - e_js.mean()) ** 2).sum())
+            report["lanczos_energy_err"] = float(err)
+            report["lanczos_energy_per_site_err"] = float(err) / n
         if not valid:
             print(f"lanczos: NOISE-DOMINATED (gain {h1 - e_lz:.3g} > "
                   f"sqrt(k2) {bound:.3g}); increase samples/walkers or "
