@@ -327,6 +327,12 @@ def train(cfg, ckpt_manager=None, logger=None):
                 if cfg.optimizer.orthogonalize_to:
                     row["overlap"] = float(
                         np.asarray(metrics.overlap)[j])
+                if cfg.optimizer.sector_momentum is not None:
+                    # the overlap metric slot carries the sector weight
+                    # |<P_q>| in sector mode (vmc.step): the key
+                    # convergence diagnostic (weight -> 1 under kappa)
+                    row["sector_weight"] = float(
+                        np.asarray(metrics.overlap)[j])
                 if e_exact is not None:
                     row["rel_err"] = abs(row["energy_re"] - e_exact) / abs(
                         e_exact)
